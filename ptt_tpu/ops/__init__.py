@@ -1,0 +1,34 @@
+"""TPU-native point-cloud ops.
+
+Equivalents of the reference's CUDA kernel surface (pointnet2_ops ``_ext`` calls wrapped
+at ptt/models/backbones_3d/pointnet2/pointnet2_utils.py:27-429), as jittable
+channel-last jax.numpy primitives, with Pallas TPU kernels for the hot paths
+(``ptt_tpu.ops.pallas``).  All outputs are fixed-shape (pad+duplicate semantics match
+the CUDA kernels) so everything compiles to static-shape XLA.
+"""
+
+from .point_ops import (
+    square_distance,
+    furthest_point_sample,
+    furthest_point_sample_with_dist,
+    gather_points,
+    ball_query,
+    group_points,
+    query_and_group,
+    knn,
+    three_nn,
+    three_interpolate,
+)
+
+__all__ = [
+    "square_distance",
+    "furthest_point_sample",
+    "furthest_point_sample_with_dist",
+    "gather_points",
+    "ball_query",
+    "group_points",
+    "query_and_group",
+    "knn",
+    "three_nn",
+    "three_interpolate",
+]

@@ -1,0 +1,251 @@
+"""Reference jax.numpy implementations of the point-cloud kernel set.
+
+Semantics match the CUDA kernels the reference calls through
+``ptt/models/backbones_3d/pointnet2/pointnet2_utils.py`` (see SURVEY.md section 2.2):
+
+  - ``furthest_point_sample``            ~ _ext.furthest_point_sampling (first index 0)
+  - ``furthest_point_sample_with_dist``  ~ _ext.furthest_point_sampling_with_dist
+  - ``gather_points``                    ~ _ext.gather_points (+ scatter-add vjp, which
+                                           JAX derives automatically from the gather)
+  - ``ball_query``                       ~ _ext.ball_query: <= nsample in-radius
+                                           neighbors in ascending point order, rows
+                                           padded with the FIRST in-radius index
+  - ``group_points``                     ~ _ext.group_points (+ vjp)
+  - ``three_nn`` / ``three_interpolate`` ~ _ext.three_nn / three_interpolate (+ vjp)
+  - ``knn``                              ~ square_distance + argsort[:, :, :k]
+                                           (variants.py:150-151) — returns the k nearest
+                                           including self, ties broken by lower index
+
+Layout is channel-LAST everywhere — features are ``(B, N, C)`` so C rides the TPU
+lane dimension — whereas the reference is channel-first ``(B, C, N)``.
+
+Everything here is jittable, differentiable where the reference op has a backward
+(gather/group/interpolate), and free of data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """Pairwise squared euclidean distance.
+
+    Args:
+      src: (B, N, C); dst: (B, M, C).
+      exact: if True, use the elementwise broadcast form (bit-matching the reference's
+        ``sum((a-b)**2)``); otherwise the matmul form ``|a|^2+|b|^2-2ab`` which runs on
+        the MXU and clamps tiny negative round-off at 0.
+
+    Returns: (B, N, M) float32.
+    """
+    if exact:
+        return jnp.sum((src[:, :, None, :] - dst[:, None, :, :]) ** 2, axis=-1)
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)  # (B, N, 1)
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)  # (B, M, 1)
+    # HIGHEST precision: fp32 accumulation on the MXU. Distances feed radius thresholds
+    # and kNN ordering; bf16 rounding here would reorder neighbors vs. the reference.
+    cross = jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(s2 + jnp.swapaxes(d2, 1, 2) - 2.0 * cross, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Iterative farthest point sampling.
+
+    Starts from index 0 and greedily adds the point that maximizes the min distance
+    to the chosen set — the same greedy schedule as the CUDA kernel (which hardwires
+    ``idxs[0] = 0``). Sequential over npoint by nature; vectorized over batch and N.
+
+    Args:
+      xyz: (B, N, 3).
+    Returns:
+      (B, npoint) int32 indices.
+    """
+    xyz = xyz.astype(jnp.float32)
+    B, N, _ = xyz.shape
+
+    def body(i, state):
+        min_d2, farthest, idxs = state
+        idxs = idxs.at[:, i].set(farthest)
+        cur = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B, 1, 3)
+        d2 = jnp.sum((xyz - cur) ** 2, axis=-1)  # (B, N)
+        min_d2 = jnp.minimum(min_d2, d2)
+        farthest = jnp.argmax(min_d2, axis=-1).astype(jnp.int32)
+        return min_d2, farthest, idxs
+
+    init = (
+        jnp.full((B, N), 1e10, dtype=jnp.float32),
+        jnp.zeros((B,), dtype=jnp.int32),
+        jnp.zeros((B, npoint), dtype=jnp.int32),
+    )
+    _, _, idxs = lax.fori_loop(0, npoint, body, init)
+    return idxs
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample_with_dist(dist2: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """FPS on a precomputed (B, N, N) squared-distance matrix ('ffps' feature-space
+    sampling, reference pointnet2_modules.py:64-67)."""
+    dist2 = dist2.astype(jnp.float32)
+    B, N, _ = dist2.shape
+
+    def body(i, state):
+        min_d2, farthest, idxs = state
+        idxs = idxs.at[:, i].set(farthest)
+        d2 = jnp.take_along_axis(dist2, farthest[:, None, None], axis=1)[:, 0, :]  # (B, N)
+        min_d2 = jnp.minimum(min_d2, d2)
+        farthest = jnp.argmax(min_d2, axis=-1).astype(jnp.int32)
+        return min_d2, farthest, idxs
+
+    init = (
+        jnp.full((B, N), 1e10, dtype=jnp.float32),
+        jnp.zeros((B,), dtype=jnp.int32),
+        jnp.zeros((B, npoint), dtype=jnp.int32),
+    )
+    _, _, idxs = lax.fori_loop(0, npoint, body, init)
+    return idxs
+
+
+# ---------------------------------------------------------------------------
+# Gather / group
+# ---------------------------------------------------------------------------
+
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: (B, N, C) x (B, M) int -> (B, M, C).
+
+    The vjp is the scatter-add the CUDA gather_points_grad implements; JAX derives it
+    from take_along_axis automatically.
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched neighborhood gather: (B, N, C) x (B, np, ns) int -> (B, np, ns, C)."""
+    B, npoint, nsample = idx.shape
+    flat = gather_points(points, idx.reshape(B, npoint * nsample))
+    return flat.reshape(B, npoint, nsample, points.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Neighborhoods
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample"))
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-size ball neighborhoods.
+
+    For each center, the indices of up to ``nsample`` points within ``radius``, in
+    ascending original-point order; rows with fewer than ``nsample`` hits are padded
+    with the first in-radius index — duplicate-pad semantics identical to the CUDA
+    ball_query, so downstream max-pools see the same multiset of neighbors.
+
+    Args:
+      xyz: (B, N, 3) all points; new_xyz: (B, M, 3) centers.
+    Returns:
+      (B, M, nsample) int32.
+    """
+    d2 = square_distance(new_xyz, xyz)  # (B, M, N)
+    N = xyz.shape[1]
+    in_ball = d2 < (radius * radius)
+    order = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
+    # In-radius points keep their index as sort key; out-of-radius get key N + index,
+    # so the ascending-k smallest keys are exactly the first nsample in-radius indices.
+    key = jnp.where(in_ball, order, order + N)
+    k = min(nsample, N)
+    neg_topk, _ = lax.top_k(-key, k)  # k smallest keys
+    key_sorted = -neg_topk
+    valid = key_sorted < N
+    idx = jnp.where(valid, key_sorted, key_sorted - N)
+    first = idx[..., :1]
+    idx = jnp.where(valid, idx, first)
+    if k < nsample:  # more slots than points: extend with the pad index
+        idx = jnp.concatenate([idx, jnp.broadcast_to(first, (*idx.shape[:-1], nsample - k))], axis=-1)
+    return idx.astype(jnp.int32)
+
+
+def query_and_group(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+):
+    """Ball query + grouping (reference QueryAndGroup, pointnet2_utils.py:297-380).
+
+    Args:
+      xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None.
+    Returns:
+      (grouped (B, M, nsample, 3+C or C or 3), grouped_xyz (B, M, nsample, 3), idx).
+    """
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+
+    if features is not None:
+        grouped_feats = group_points(features, idx)
+        if use_xyz:
+            new_features = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        else:
+            new_features = grouped_feats
+    else:
+        assert use_xyz, "cannot have neither features nor xyz"
+        new_features = grouped_xyz
+    return new_features, grouped_xyz, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn(k: int, query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """k nearest neighbors of each query point among ref points (self included when
+    query is ref) — the transformer blocks' ``square_distance().argsort()[..., :k]``
+    (reference variants.py:150-151). Ties break toward the lower index (top_k is
+    stable), matching a stable argsort.
+
+    Returns: (B, Nq, k) int32.
+    """
+    d2 = square_distance(query, ref)
+    _, idx = lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
+@jax.jit
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
+    """Three nearest neighbors of each unknown point among known points.
+
+    Returns (dist (B, n, 3), idx (B, n, 3) int32) — dist is EUCLIDEAN (not squared),
+    matching _ext.three_nn.
+    """
+    d2 = square_distance(unknown, known)
+    neg, idx = lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-NN feature interpolation: (B, M, C) x (B, n, 3) x (B, n, 3) -> (B, n, C).
+
+    Differentiable; the vjp is the scatter-add of _ext.three_interpolate_grad.
+    """
+    gathered = group_points(features, idx)  # (B, n, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
