@@ -1,0 +1,17 @@
+"""Evaluation infrastructure: tracking metrics (Success/Precision AUC), the
+autoregressive per-tracklet evaluator with a jitted device track step, and the
+epoch-level eval entry (reference tools/eval_utils/; SURVEY.md L7)."""
+
+from .metrics import Evaluator, Precision, Success, estimateAccuracy, estimateOverlap
+from .evaluator import TrackingEvaluator, eval_one_epoch, make_track_step
+
+__all__ = [
+    "Evaluator",
+    "Precision",
+    "Success",
+    "estimateAccuracy",
+    "estimateOverlap",
+    "TrackingEvaluator",
+    "eval_one_epoch",
+    "make_track_step",
+]

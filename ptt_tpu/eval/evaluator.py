@@ -1,0 +1,216 @@
+"""The autoregressive tracking evaluator (reference tools/eval_utils/
+eval_tracking_utils.py:16-310).
+
+Per tracklet: frame 0 is initialized from the GT box; every later frame crops the
+search region around the previous *predicted* box, fuses the template from first +
+previous predictions (TEST.SHAPE_AGGREGATION), runs the network, and decodes the
+argmax-score proposal back to the world frame (get_box_by_offset).
+
+TPU-first inference path: one jitted ``track_step(variables, search, template) ->
+(box4, score)`` with the proposal argmax *inside* the compiled program, so exactly
+five scalars cross the device->host boundary per frame — versus the reference's full
+(64, 5) proposal download plus numpy argmax per frame (eval_tracking_utils.py:266).
+Host work per frame is just the canonical-frame crop + resample (numpy, ~50k pts).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..utils import timer
+from ..utils.common import AverageMeter
+from .metrics import Evaluator
+
+
+def make_track_step(model):
+    """Jitted single-frame inference: apply the network and reduce to the best
+    proposal on device. Returns (box_offset[4], score) as device scalars."""
+
+    @jax.jit
+    def track_step(variables, search_points, template_points):
+        out = model.apply(
+            variables,
+            {"search_points": search_points, "template_points": template_points},
+            train=False,
+        )
+        data = out["pred_box_data"][0]  # (np, 5) = [x, y, z, theta_deg, score]
+        idx = jnp.argmax(data[:, 4])
+        best = data[idx]
+        return best[:4], best[4]
+
+    return track_step
+
+
+class TrackingEvaluator:
+    """Per-tracklet tracking state machine (reference TrackingEvaluator, :54-310)."""
+
+    def __init__(self, cfg, model, variables, dataset, logger=None, output_dir=None):
+        self.cfg = cfg
+        self.data_cfg = cfg.DATA_CONFIG
+        self.test_cfg = cfg.TEST
+        self.model = model
+        self.variables = variables
+        self.dataset = dataset
+        self.logger = logger
+        self.track_step = make_track_step(model)
+
+        self.evaluator = Evaluator(ref_coord=str(self.data_cfg.get("REF_COOR", "lidar")))
+        self.frame_time = AverageMeter()
+        self.batch_num = 0
+
+        self._fp = None
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            self._fp = open(output_dir / "track_result.txt", "w")
+
+    # ------------------------------------------------------------- host preprocessing
+
+    def _prepare_search(self, this_pc, this_box, results, gt_boxes, frame_id):
+        ref_mode = str(self.test_cfg.get("REF_BOX", "previous_result")).upper()
+        if "PREVIOUS_RESULT" in ref_mode:
+            ref_box = results[-1]
+        elif "PREVIOUS_GT" in ref_mode:
+            ref_box = gt_boxes[frame_id - 1]
+        elif "CURRENT_GT" in ref_mode:
+            ref_box = this_box
+        else:
+            raise ValueError(
+                "TEST.REF_BOX must be previous_result / previous_gt / current_gt"
+            )
+        pts = geo.crop_center_pc(
+            this_pc,
+            ref_box,
+            offset=float(self.data_cfg.get("SEARCH_BB_OFFSET", 0.0)),
+            scale=float(self.data_cfg.get("SEARCH_BB_SCALE", 1.25)),
+        )
+        pts = geo.regularize_pc(pts, int(self.data_cfg["SEARCH_INPUT_SIZE"]), istrain=False)
+        return ref_box, pts
+
+    def _prepare_template(self, pcs, results, frame_id):
+        mode = str(self.test_cfg.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
+        if "FIRSTANDPREVIOUS" in mode:
+            sel_pcs = [pcs[0], pcs[frame_id - 1]]
+            sel_boxes = [results[0], results[frame_id - 1]]
+        elif "FIRST" in mode:
+            sel_pcs, sel_boxes = [pcs[0]], [results[0]]
+        elif "PREVIOUS" in mode:
+            sel_pcs, sel_boxes = [pcs[frame_id - 1]], [results[frame_id - 1]]
+        else:  # 'all' and the reference's fallback
+            sel_pcs, sel_boxes = pcs[:frame_id], results
+        template = geo.get_model(
+            sel_pcs,
+            sel_boxes,
+            offset=float(self.data_cfg.get("MODEL_BB_OFFSET", 0.0)),
+            scale=float(self.data_cfg.get("MODEL_BB_SCALE", 1.25)),
+        )
+        return geo.regularize_pc(
+            template, int(self.data_cfg["TEMPLATE_INPUT_SIZE"]), istrain=False
+        )
+
+    # ------------------------------------------------------------------- tracking
+
+    def test_tracklet(self, pcs, gt_boxes, annos, progress_cb=None):
+        """Track one tracklet; updates metric accumulators per frame and returns the
+        list of predicted boxes."""
+        self.batch_num += 1
+        results = []
+        with self.evaluator:
+            for i, (this_pc, this_box) in enumerate(zip(pcs, gt_boxes)):
+                if i == 0:
+                    results.append(this_box)  # GT seeds the track (reference :96-100)
+                else:
+                    t0 = time.perf_counter()
+                    with timer.env("pre process"):
+                        ref_box, search = self._prepare_search(
+                            this_pc, this_box, results, gt_boxes, i
+                        )
+                        template = self._prepare_template(pcs, results, i)
+                    with timer.env("model inference"):
+                        offset4, score = self.track_step(
+                            self.variables,
+                            jnp.asarray(search[None], jnp.float32),
+                            jnp.asarray(template[None], jnp.float32),
+                        )
+                        offset4 = np.asarray(jax.block_until_ready(offset4))
+                    with timer.env("post process"):
+                        box = geo.get_box_by_offset(
+                            ref_box, offset4, bool(self.data_cfg.get("USE_Z_AXIS", False))
+                        )
+                    results.append(box)
+                    self.frame_time.update(time.perf_counter() - t0)
+
+                self.evaluator.update_iou(this_box, results[-1])
+                anno = annos[i] if annos is not None and i < len(annos) else {}
+                self._save_result(anno, results[-1])
+                if progress_cb is not None:
+                    progress_cb(self)
+        return results
+
+    def _save_result(self, anno, box):
+        if self._fp is None:
+            return
+        info = [anno.get("scene_num", -1), anno.get("frame_num", -1), self.batch_num]
+        flat = np.concatenate(box.corners().T, axis=0).tolist()
+        self._fp.write(" ".join(map(str, info + flat)) + "\n")
+
+    @property
+    def fps(self):
+        return 1.0 / self.frame_time.avg if self.frame_time.count else 0.0
+
+    def close(self):
+        if self._fp is not None:
+            self._fp.close()
+            self._fp = None
+
+    def summary(self):
+        return {
+            "success": self.evaluator.Success_main.average,
+            "precision": self.evaluator.Precision_main.average,
+            "fps": self.fps,
+            "frames": self.evaluator.Success_main.count,
+        }
+
+
+def eval_one_epoch(cfg, model, variables, dataloader, epoch_id="?", logger=None,
+                   result_dir=None, tb_log=None):
+    """Run tracking eval over the whole test loader (reference eval_one_epoch,
+    eval_tracking_utils.py:16-51). Returns (success, precision)."""
+    emit = logger.info if logger is not None else print
+    emit(f"*************** EPOCH {epoch_id} EVALUATION *****************")
+    final_dir = Path(result_dir) / "final_result" / "data" if result_dir else None
+
+    ev = TrackingEvaluator(
+        cfg, model, variables, dataloader.dataset, logger=logger, output_dir=final_dir
+    )
+    start = time.perf_counter()
+    n_frames = 0
+    for batch in dataloader:  # one item = one whole tracklet
+        for pcs, boxes, annos in batch:
+            ev.test_tracklet(pcs, boxes, annos)
+            n_frames += len(pcs)
+            emit(
+                f"tracklet {ev.batch_num}: batch Succ/Prec "
+                f"{ev.evaluator.Success_batch.average:.1f}/"
+                f"{ev.evaluator.Precision_batch.average:.1f}  "
+                f"({ev.fps:.1f} fps)"
+            )
+    summary = ev.summary()
+    ev.close()
+
+    elapsed = time.perf_counter() - start
+    emit(
+        f"*************** Performance of EPOCH {epoch_id} *****************\n"
+        f"mean Succ/Prec {summary['success']:.1f}/{summary['precision']:.1f}  "
+        f"({n_frames} frames, {elapsed:.1f}s, tracked at {summary['fps']:.1f} fps)"
+    )
+    if tb_log is not None:
+        tb_log.add_scalar("metric/succ", summary["success"], epoch_id)
+        tb_log.add_scalar("metric/prec", summary["precision"], epoch_id)
+    return summary["success"], summary["precision"]
