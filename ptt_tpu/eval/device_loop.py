@@ -1,0 +1,301 @@
+"""Device-resident tracking: the entire autoregressive per-tracklet loop compiled
+into ONE XLA program (`lax.scan` over frames), instead of the reference's per-frame
+host<->device ping-pong (eval_tracking_utils.py:140-151: numpy crop -> upload ->
+model -> download -> numpy decode, every frame).
+
+Why: each host<->device interaction costs a fixed dispatch/transfer latency; the
+reference pays 3+ of them per frame at batch=1. Here a tracklet's padded point
+clouds are uploaded once, the scan carries the predicted box as device state, and
+one (T, 5) array comes back — so per-frame cost approaches pure compute. A vmapped
+variant tracks B tracklets per dispatch for throughput.
+
+Semantics mirror the host evaluator (evaluator.py / reference crop_center_pc,
+get_model, regularize_pc, get_box_by_offset) with two documented deviations, both
+confined to RNG details:
+  - point resampling uses JAX PRNG streams (fixed base key), not numpy's global
+    seed-1 reseed (kitti_tracking_utils.py:350) — same uniform-with-replacement
+    distribution, different stream;
+  - get_box_by_offset's out-of-range offset resampling (a train-time augmentation
+    guard) is omitted: network offsets are sub-meter by construction.
+SHAPE_AGGREGATION 'all' (unbounded template growth) is host-loop-only; use the
+standard 'first' / 'previous' / 'firstandprevious' modes here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+
+
+def _rot_z(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero], -1),
+            jnp.stack([s, c, zero], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )
+
+
+def crop_canonical(pts, valid, box_vec, wlh, offset, scale):
+    """Transform points into the box canonical frame and mask to the scaled box AABB
+    (the device analog of crop_center_pc's test path, geometry.py:298).
+
+    pts (N, 3), valid (N,) bool, box_vec (4,) = [cx, cy, cz, yaw], wlh (3,) = [w, l, h].
+    Returns (canonical pts (N, 3), in-crop mask (N,)).
+    """
+    center, yaw = box_vec[:3], box_vec[3]
+    canon = (pts - center) @ _rot_z(yaw)
+    w, l, h = wlh[0], wlh[1], wlh[2]
+    half = jnp.stack([l / 2 * scale + offset, w / 2 * scale + offset, h / 2 * scale + offset])
+    mask = jnp.all(jnp.abs(canon) <= half, axis=-1) & valid
+    return canon, mask
+
+
+def masked_resample(pts, mask, n_out: int, key):
+    """Uniform-with-replacement resample of the masked rows to exactly ``n_out``
+    (device analog of regularize_pc, geometry.py:392: <=2 valid points -> zeros)."""
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)  # valid rows first
+    count = jnp.sum(mask)
+    pick = jax.random.randint(key, (n_out,), 0, jnp.maximum(count, 1))
+    out = jnp.take(pts, jnp.take(order, pick), axis=0)
+    return jnp.where(count > 2, out, jnp.zeros_like(out)), count
+
+
+def decode_box_offset(box_vec, offset4, use_z: bool):
+    """Apply the network's canonical-frame offset [dx, dy, dz, dtheta_deg] to the
+    reference box (device analog of get_box_by_offset, geometry.py:364)."""
+    center, yaw = box_vec[:3], box_vec[3]
+    delta = jnp.stack([offset4[0], offset4[1], jnp.where(use_z, offset4[2], 0.0)])
+    new_center = center + delta @ _rot_z(yaw).T
+    new_yaw = yaw + jnp.deg2rad(offset4[3])
+    return jnp.concatenate([new_center, new_yaw[None]])
+
+
+def make_device_tracker(
+    model,
+    data_cfg,
+    test_cfg,
+    batched: bool = True,
+):
+    """Build the jitted whole-tracklet tracker.
+
+    Returns ``track(variables, pcs, counts, init_box, wlh, key) -> (boxes, scores)``:
+      pcs (T, N, 3) padded frame clouds  (batched: (B, T, N, 3))
+      counts (T,) valid points per frame (batched: (B, T))
+      init_box (4,) frame-0 GT [cx, cy, cz, yaw]
+      wlh (3,) tracklet box size (all predicted boxes share frame-0 wlh, like the
+        reference where get_box_by_offset copies the box)
+      -> boxes (T, 4) predicted [cx, cy, cz, yaw] per frame (frame 0 = init_box),
+         scores (T,) best-proposal logits (frame 0 = +inf).
+    """
+    search_size = int(data_cfg["SEARCH_INPUT_SIZE"])
+    template_size = int(data_cfg["TEMPLATE_INPUT_SIZE"])
+    search_offset = float(data_cfg.get("SEARCH_BB_OFFSET", 0.0))
+    search_scale = float(data_cfg.get("SEARCH_BB_SCALE", 1.25))
+    model_offset = float(data_cfg.get("MODEL_BB_OFFSET", 0.0))
+    model_scale = float(data_cfg.get("MODEL_BB_SCALE", 1.25))
+    use_z = bool(data_cfg.get("USE_Z_AXIS", False))
+    aggregation = str(test_cfg.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
+    ref_mode = str(test_cfg.get("REF_BOX", "previous_result")).upper()
+    if "ALL" in aggregation and "FIRSTANDPREVIOUS" not in aggregation:
+        raise NotImplementedError(
+            "SHAPE_AGGREGATION='all' grows without bound; use the host TrackingEvaluator"
+        )
+    if "PREVIOUS_RESULT" not in ref_mode:
+        raise NotImplementedError(
+            "device tracker implements REF_BOX=previous_result (the deployment mode); "
+            "GT-referenced modes are host-evaluator diagnostics"
+        )
+
+    def track_one(variables, pcs, counts, init_box, wlh, key):
+        T, N = pcs.shape[0], pcs.shape[1]
+        valid = jnp.arange(N)[None, :] < counts[:, None]  # (T, N)
+
+        # frame-0 template source: crop frame 0 in the init box frame, once
+        first_canon, first_mask = crop_canonical(
+            pcs[0], valid[0], init_box, wlh, model_offset, model_scale
+        )
+        step_keys = jax.random.split(key, T - 1)
+
+        def step(prev_box, xs):
+            # index into the closed-over (T, N, 3) buffer instead of threading
+            # pcs[1:] / pcs[:-1] through scan xs (which would materialize two extra
+            # nearly-full copies of the tracklet in HBM)
+            t, k = xs
+            cur_pts, cur_valid = pcs[t], valid[t]
+            prev_pts, prev_valid = pcs[t - 1], valid[t - 1]
+            k_search, k_template = jax.random.split(k)
+
+            search_canon, search_mask = crop_canonical(
+                cur_pts, cur_valid, prev_box, wlh, search_offset, search_scale
+            )
+            search, _ = masked_resample(search_canon, search_mask, search_size, k_search)
+
+            if "FIRSTANDPREVIOUS" in aggregation:
+                prev_canon, prev_mask = crop_canonical(
+                    prev_pts, prev_valid, prev_box, wlh, model_offset, model_scale
+                )
+                tmpl_pts = jnp.concatenate([first_canon, prev_canon], axis=0)
+                tmpl_mask = jnp.concatenate([first_mask, prev_mask], axis=0)
+            elif "FIRST" in aggregation:
+                tmpl_pts, tmpl_mask = first_canon, first_mask
+            else:  # PREVIOUS
+                tmpl_pts, tmpl_mask = crop_canonical(
+                    prev_pts, prev_valid, prev_box, wlh, model_offset, model_scale
+                )
+            template, _ = masked_resample(tmpl_pts, tmpl_mask, template_size, k_template)
+
+            out = model.apply(
+                variables,
+                {"search_points": search[None], "template_points": template[None]},
+                train=False,
+            )
+            data = out["pred_box_data"][0]  # (np, 5)
+            best = data[jnp.argmax(data[:, 4])]
+            new_box = decode_box_offset(prev_box, best[:4], use_z)
+            return new_box, (new_box, best[4])
+
+        xs = (jnp.arange(1, T), step_keys)
+        _, (boxes, scores) = jax.lax.scan(step, init_box, xs)
+        boxes = jnp.concatenate([init_box[None], boxes], axis=0)
+        scores = jnp.concatenate([jnp.array([jnp.inf]), scores])
+        return boxes, scores
+
+    if batched:
+        fn = jax.vmap(track_one, in_axes=(None, 0, 0, 0, 0, 0))
+    else:
+        fn = track_one
+    return jax.jit(fn)
+
+
+class DeviceTrackingEvaluator:
+    """Host wrapper: pads tracklets to fixed (B, T, N) buckets, runs the device
+    tracker, and scores Success/Precision on host with the exact reference metric.
+
+    ``max_points`` bounds per-frame cloud size (frames larger than this are randomly
+    subsampled on host once, before upload). Tracklet lengths are padded up to the
+    next multiple of ``frame_bucket`` so XLA recompiles only per bucket, not per
+    tracklet length.
+
+    Reuse one evaluator instance across batches/epochs: the tracker is traced and
+    compiled once per instance (tracing the whole-tracklet scan is expensive), after
+    which a 512-frame batch executes in under a second on a v5e chip.
+    """
+
+    def __init__(self, cfg, model, variables, max_points: int = 16384,
+                 frame_bucket: int = 32, batch_size: int = 8, seed: int = 1,
+                 logger=None):
+        from .metrics import Evaluator
+
+        self.cfg = cfg
+        self.variables = variables
+        self.max_points = int(max_points)
+        self.frame_bucket = int(frame_bucket)
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self.logger = logger
+        self.track_fn = make_device_tracker(model, cfg.DATA_CONFIG, cfg.TEST, batched=True)
+        self.evaluator = Evaluator(ref_coord=str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")))
+
+    @staticmethod
+    def box_to_vec(box) -> np.ndarray:
+        yaw = np.arctan2(box.rotation_matrix[1, 0], box.rotation_matrix[0, 0])
+        return np.array([*box.center, yaw], np.float32)
+
+    def _pad_tracklet(self, pcs, T_pad):
+        rng = np.random.default_rng(self.seed)
+        N = self.max_points
+        out = np.zeros((T_pad, N, 3), np.float32)
+        counts = np.zeros((T_pad,), np.int32)
+        for t, pc in enumerate(pcs):
+            pc = np.asarray(pc, np.float32)
+            if pc.shape[0] > N:
+                pc = pc[rng.choice(pc.shape[0], N, replace=False)]
+            out[t, : pc.shape[0]] = pc
+            counts[t] = pc.shape[0]
+        return out, counts
+
+    def track_batch(self, tracklets):
+        """tracklets: list of (pcs, gt_boxes, annos). Returns per-tracklet predicted
+        geo.Box lists; updates metric accumulators."""
+        T_max = max(len(pcs) for pcs, _, _ in tracklets)
+        T_pad = max(2, -(-T_max // self.frame_bucket) * self.frame_bucket)
+        B = len(tracklets)
+
+        pcs_arr = np.zeros((B, T_pad, self.max_points, 3), np.float32)
+        counts = np.zeros((B, T_pad), np.int32)
+        init_boxes = np.zeros((B, 4), np.float32)
+        wlhs = np.zeros((B, 3), np.float32)
+        for b, (pcs, boxes, _) in enumerate(tracklets):
+            pcs_arr[b], counts[b] = self._pad_tracklet(pcs, T_pad)
+            init_boxes[b] = self.box_to_vec(boxes[0])
+            wlhs[b] = boxes[0].wlh
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), B)
+
+        boxes_out, scores = self.track_fn(
+            self.variables, pcs_arr, counts, init_boxes, wlhs, keys
+        )
+        boxes_out = np.asarray(jax.block_until_ready(boxes_out))
+
+        all_results = []
+        for b, (pcs, gt_boxes, _) in enumerate(tracklets):
+            results = []
+            with self.evaluator:
+                for t in range(len(pcs)):
+                    vec = boxes_out[b, t]
+                    box = geo.Box(
+                        center=vec[:3].astype(np.float64),
+                        wlh=np.asarray(gt_boxes[0].wlh, np.float64),
+                        orientation=geo.Quaternion(axis=[0, 0, 1], radians=float(vec[3])),
+                    )
+                    results.append(box)
+                    self.evaluator.update_iou(gt_boxes[t], box)
+            all_results.append(results)
+        return all_results
+
+    def summary(self):
+        return {
+            "success": self.evaluator.Success_main.average,
+            "precision": self.evaluator.Precision_main.average,
+            "frames": self.evaluator.Success_main.count,
+        }
+
+
+def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logger=None,
+                          max_points: int = 16384, batch_size: int = 8):
+    """Device-loop twin of eval_one_epoch: groups test tracklets into device batches.
+    Returns (success, precision, frames_per_second)."""
+    import time
+
+    emit = logger.info if logger is not None else print
+    ev = DeviceTrackingEvaluator(
+        cfg, model, variables, max_points=max_points, batch_size=batch_size, logger=logger
+    )
+    pending, n_frames = [], 0
+    start = time.perf_counter()
+    for batch in dataloader:
+        for trk in batch:
+            pending.append(trk)
+            n_frames += len(trk[0])
+            if len(pending) == batch_size:
+                ev.track_batch(pending)
+                pending = []
+    if pending:
+        ev.track_batch(pending)
+    elapsed = time.perf_counter() - start
+    s = ev.summary()
+    emit(
+        f"[device eval] epoch {epoch_id}: Succ/Prec {s['success']:.1f}/{s['precision']:.1f}  "
+        f"({n_frames} frames in {elapsed:.1f}s = {n_frames / elapsed:.1f} fps)"
+    )
+    return s["success"], s["precision"], n_frames / elapsed

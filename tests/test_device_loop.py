@@ -1,0 +1,182 @@
+"""Device-resident tracking loop tests.
+
+Strategy: the device loop's RNG stream differs from the host evaluator's by design
+(documented in device_loop.py), so full-trace equality is only checkable with a model
+whose output doesn't depend on the resampled points. We test:
+  1. each device primitive against the host geometry oracle (crop masks, box decode);
+  2. exact predicted-box-sequence equality device vs host with a constant-offset
+     model (exercises the scan plumbing, template/search selection, decode);
+  3. the real network end-to-end through the batched device tracker.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptt_tpu.config import cfg_from_yaml_file
+from ptt_tpu.core import geometry as geo
+from ptt_tpu.data.loader import build_dataloader
+from ptt_tpu.eval import TrackingEvaluator
+from ptt_tpu.eval.device_loop import (
+    DeviceTrackingEvaluator,
+    crop_canonical,
+    decode_box_offset,
+    eval_one_epoch_device,
+    make_device_tracker,
+    masked_resample,
+)
+
+
+def rand_box(rng):
+    return geo.Box(
+        center=rng.uniform(-5, 5, 3),
+        wlh=np.array([1.8, 4.2, 1.6]),
+        orientation=geo.Quaternion(axis=[0, 0, 1], radians=rng.uniform(-np.pi, np.pi)),
+    )
+
+
+def box_vec(box):
+    yaw = np.arctan2(box.rotation_matrix[1, 0], box.rotation_matrix[0, 0])
+    return np.array([*box.center, yaw], np.float32)
+
+
+# ------------------------------------------------------------------- primitives
+
+
+def test_crop_canonical_matches_host_oracle(rng):
+    box = rand_box(rng)
+    pts = rng.uniform(-8, 8, (500, 3))
+    canon, mask = crop_canonical(
+        jnp.asarray(pts, jnp.float32),
+        jnp.ones(500, bool),
+        jnp.asarray(box_vec(box)),
+        jnp.asarray(box.wlh, jnp.float32),
+        offset=0.0,
+        scale=1.25,
+    )
+    host_pts = geo.crop_center_pc(pts, box, offset=0.0, scale=1.25)
+    dev_pts = np.asarray(canon)[np.asarray(mask)]
+    # same point set (order may differ): sort both lexicographically
+    assert dev_pts.shape[0] == host_pts.shape[0]
+    a = dev_pts[np.lexsort(dev_pts.T)]
+    b = host_pts[np.lexsort(host_pts.T)]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_crop_canonical_respects_validity(rng):
+    box = rand_box(rng)
+    pts = np.tile(box.center, (10, 1))  # all inside
+    valid = np.zeros(10, bool)
+    valid[:4] = True
+    _, mask = crop_canonical(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+        jnp.asarray(box_vec(box)), jnp.asarray(box.wlh, jnp.float32), 0.0, 1.25,
+    )
+    assert int(mask.sum()) == 4
+
+
+def test_decode_box_offset_matches_host_oracle(rng):
+    for use_z in (False, True):
+        box = rand_box(rng)
+        offset4 = np.array([0.4, -0.2, 0.1, 7.5], np.float32)  # within box extent
+        dev = np.asarray(decode_box_offset(jnp.asarray(box_vec(box)), jnp.asarray(offset4), use_z))
+        host = geo.get_box_by_offset(box, offset4.astype(np.float64), use_z)
+        np.testing.assert_allclose(dev[:3], host.center, atol=1e-5)
+        host_yaw = np.arctan2(host.rotation_matrix[1, 0], host.rotation_matrix[0, 0])
+        assert abs((dev[3] - host_yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+
+
+def test_masked_resample_selects_only_valid(rng):
+    pts = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)
+    mask = jnp.asarray(np.arange(100) < 17)
+    out, count = masked_resample(pts, mask, 64, jax.random.PRNGKey(0))
+    assert int(count) == 17
+    valid_set = {tuple(np.round(p, 5)) for p in np.asarray(pts[:17])}
+    for p in np.asarray(out):
+        assert tuple(np.round(p, 5)) in valid_set
+
+
+def test_masked_resample_degenerate_zeroes(rng):
+    pts = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)
+    mask = jnp.asarray(np.arange(100) < 2)  # <=2 valid -> zeros (reference semantics)
+    out, count = masked_resample(pts, mask, 64, jax.random.PRNGKey(0))
+    assert int(count) == 2
+    assert np.all(np.asarray(out) == 0)
+
+
+# --------------------------------------------------------- scan plumbing parity
+
+
+class ConstOffsetModel:
+    """Predicts a fixed canonical-frame offset regardless of input points, so the
+    device and host trackers must produce byte-identical box trajectories."""
+
+    OFFSET = np.array([0.12, -0.05, 0.02, 3.0], np.float32)
+
+    def apply(self, variables, batch, train=False):
+        B = batch["search_points"].shape[0]
+        data = np.zeros((B, 64, 5), np.float32)
+        data[:, :, :4] = self.OFFSET
+        data[:, 0, 4] = 5.0
+        return {"pred_box_data": jnp.asarray(data)}
+
+
+@pytest.fixture(scope="module")
+def synth_cfg_loader():
+    cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt.yaml")
+    ds_cfg = dict(cfg.DATA_CONFIG)
+    ds_cfg.update(DATASET="SyntheticTrackingDataset", NUM_TRACKLETS=2, FRAMES_PER_TRACKLET=8)
+    _, loader = build_dataloader(ds_cfg, ["Car"], batch_size=1, training=False)
+    return cfg, loader
+
+
+def test_device_matches_host_with_const_model(synth_cfg_loader):
+    cfg, loader = synth_cfg_loader
+    model = ConstOffsetModel()
+
+    host_ev = TrackingEvaluator(cfg, model, {}, loader.dataset)
+    dev_ev = DeviceTrackingEvaluator(cfg, model, {}, max_points=2048, batch_size=2)
+
+    tracklets = [trk for batch in loader for trk in batch]
+    host_results = [host_ev.test_tracklet(*trk) for trk in tracklets]
+    dev_results = dev_ev.track_batch(tracklets)
+
+    for host_trk, dev_trk in zip(host_results, dev_results):
+        assert len(host_trk) == len(dev_trk)
+        for hb, db in zip(host_trk, dev_trk):
+            np.testing.assert_allclose(hb.center, db.center, atol=1e-4)
+            h_yaw = np.arctan2(hb.rotation_matrix[1, 0], hb.rotation_matrix[0, 0])
+            d_yaw = np.arctan2(db.rotation_matrix[1, 0], db.rotation_matrix[0, 0])
+            assert abs((h_yaw - d_yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-4
+    # and therefore identical metrics
+    hs = host_ev.evaluator.Success_main.average
+    ds = dev_ev.evaluator.Success_main.average
+    assert hs == pytest.approx(ds, abs=0.2)
+
+
+# ------------------------------------------------------------------ end to end
+
+
+def test_real_model_device_tracker(synth_cfg_loader):
+    from ptt_tpu.nn import build_network
+
+    cfg, loader = synth_cfg_loader
+    model = build_network(cfg.MODEL)
+    batch = {"search_points": jnp.zeros((1, 1024, 3)), "template_points": jnp.zeros((1, 512, 3))}
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch)
+
+    succ, prec, fps = eval_one_epoch_device(
+        cfg, model, variables, loader, max_points=2048, batch_size=2
+    )
+    assert 0 <= succ <= 100 and 0 <= prec <= 100
+    assert np.isfinite(fps) and fps > 0
+
+
+def test_device_tracker_rejects_unbounded_aggregation(synth_cfg_loader):
+    cfg, _ = synth_cfg_loader
+    bad = cfg.copy()
+    bad.TEST = dict(bad.TEST)
+    bad.TEST["SHAPE_AGGREGATION"] = "all"
+    with pytest.raises(NotImplementedError):
+        make_device_tracker(ConstOffsetModel(), bad.DATA_CONFIG, bad.TEST)
