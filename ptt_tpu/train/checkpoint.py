@@ -87,6 +87,25 @@ def save_variables(path, params, batch_stats=None, metadata=None):
     ckptr.close()
 
 
+def resolve_checkpoint_path(path, epoch=None):
+    """Resolve a user-supplied checkpoint argument to a concrete orbax tree dir.
+
+    Accepts: a run's ``ckpt`` manager dir (picks ``epoch`` or the newest numeric
+    step), a specific step dir (``.../ckpt/7``), or a standalone ``save_variables``
+    dir. Mirrors the reference's newest-checkpoint glob (train_tracking.py:149-155).
+    """
+    path = Path(path).resolve()
+    if not path.exists():
+        raise FileNotFoundError(f"checkpoint path {path} does not exist")
+    steps = sorted(int(p.name) for p in path.iterdir() if p.is_dir() and p.name.isdigit())
+    if steps:
+        step = int(epoch) if epoch is not None else steps[-1]
+        path = path / str(step)
+    if (path / "default").is_dir():
+        path = path / "default"
+    return path
+
+
 def load_params_from_file(path, params, batch_stats=None, logger=None):
     """Shape-checked partial parameter load (reference tracker3d_template.py:96-122).
 
