@@ -1,0 +1,155 @@
+"""PyTorch -> JAX checkpoint converter for reference PTT/P2B checkpoints.
+
+Maps the reference model's ``state_dict`` (ptt/models/*; torch naming like
+``backbone_3d.SA_modules.0.mlp_module.layer0.conv.weight``) onto this framework's
+flax variable tree (``backbone_3d/sa_stages_0/SharedMLP_0/Dense_0/kernel``), so
+checkpoints trained with the CUDA reference evaluate here directly.
+
+Weight-layout rules:
+  - 1x1 conv weights (O, I, 1[, 1]) -> squeeze -> transpose -> Dense kernel (I, O)
+  - torch Linear weight (O, I) -> transpose -> (I, O)
+  - BN: weight/bias -> scale/bias (params); running_mean/var -> mean/var (batch_stats)
+  - dropped torch entries: global_step, num_batches_tracked, loss-function buffers
+    (cls_loss_func.pos_weight — a config constant here, not a parameter)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ConvStack_k (flax) -> torch sequential name, per top-level module
+_CONVSTACK_NAMES = {
+    "similarity_module": ["conv"],
+    "centroid_voting_head": ["cla_layer", "vote_layer"],
+    "box_voting_head": ["refine_layer"],
+}
+
+_IGNORED_TORCH_SUFFIXES = ("num_batches_tracked", "cls_loss_func.pos_weight")
+_IGNORED_TORCH_KEYS = ("global_step",)
+
+
+def _flax_to_torch_key(collection: str, segs: list) -> str:
+    """Translate one flax variable path to the reference torch state_dict key."""
+    top = segs[0]
+    out = [top]
+    i = 1
+    while i < len(segs):
+        seg = segs[i]
+        if seg.startswith("sa_stages_"):
+            out.append(f"SA_modules.{seg.split('_')[-1]}")
+        elif seg.startswith("SharedMLP"):
+            out.append("mlp" if top == "similarity_module" else "mlp_module")
+            # next segs are Dense_j/kernel or BatchNorm_j/...
+            sub, leaf = segs[i + 1], segs[i + 2]
+            j = sub.split("_")[-1]
+            if sub.startswith("Dense"):
+                out.append(f"layer{j}.conv.weight")
+            else:
+                out.append(f"layer{j}.normlayer.bn.{_bn_leaf(collection, leaf)}")
+            return ".".join(out)
+        elif seg.startswith("ConvStack"):
+            k = int(seg.split("_")[-1])
+            out.append(_CONVSTACK_NAMES[top][k])
+            sub, leaf = segs[i + 1], segs[i + 2]
+            j = sub.split("_")[-1]
+            if sub.startswith("Dense"):
+                out.append(f"{j}.conv.{'weight' if leaf == 'kernel' else 'bias'}")
+            else:
+                out.append(f"{j}.normlayer.bn.{_bn_leaf(collection, leaf)}")
+            return ".".join(out)
+        elif seg == "transformer_block":
+            out.append(seg)
+            rest = segs[i + 1:]
+            if rest[0] in ("fc1", "fc2") or rest[0].startswith("w_"):
+                leaf = rest[-1]  # Dense_0/{kernel,bias}
+                out.append(f"{rest[0]}.{'weight' if leaf == 'kernel' else 'bias'}")
+            elif rest[0] in ("fc_delta", "fc_gamma"):
+                k = int(rest[1].split("_")[-1])  # Linear_k -> sequential index 2k
+                leaf = rest[-1]
+                out.append(f"{rest[0]}.{2 * k}.{'weight' if leaf == 'kernel' else 'bias'}")
+            else:
+                raise KeyError(f"unknown transformer sub-path {rest}")
+            return ".".join(out)
+        elif seg == "cov_final":
+            out.append(f"cov_final.{'weight' if segs[i + 1] == 'kernel' else 'bias'}")
+            return ".".join(out)
+        else:
+            out.append(seg)
+        i += 1
+    raise KeyError(f"unmapped flax path {collection}:{'/'.join(segs)}")
+
+
+def _bn_leaf(collection: str, leaf: str) -> str:
+    if collection == "batch_stats":
+        return {"mean": "running_mean", "var": "running_var"}[leaf]
+    return {"scale": "weight", "bias": "bias"}[leaf]
+
+
+def _to_flax_layout(tensor: np.ndarray, flax_shape, is_weight_matrix: bool) -> np.ndarray:
+    """Squeeze 1x1 conv spatial dims; transpose torch (O, I) weight matrices to the
+    Dense (I, O) layout. The transpose is keyed on the tensor's role, NOT inferred
+    from shapes — square matrices would silently skip a shape-based heuristic."""
+    t = np.asarray(tensor)
+    while t.ndim > 2 and t.shape[-1] == 1:
+        t = t[..., 0]
+    if is_weight_matrix and t.ndim == 2:
+        t = t.T
+    if t.shape != tuple(flax_shape):
+        raise ValueError(f"shape mismatch after layout: {t.shape} vs {flax_shape}")
+    return t
+
+
+def convert_state_dict(state_dict, params, batch_stats=None, strict: bool = True):
+    """Convert a reference torch ``state_dict`` (name -> numpy/tensor) into
+    (params, batch_stats) matching the given flax templates.
+
+    ``strict`` requires every flax leaf to be found in the checkpoint, and reports
+    any checkpoint tensor that was neither consumed nor on the ignore list.
+    Returns (params, batch_stats, report) where report lists {missing, unused}.
+    """
+    import jax
+
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
+    consumed = set()
+    missing = []
+
+    def fill(collection, tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)
+        out = {}
+        for path, leaf in flat[0]:
+            segs = [str(getattr(k, "key", k)) for k in path]
+            try:
+                torch_key = _flax_to_torch_key(collection, segs)
+                tensor = sd[torch_key]
+                is_weight_matrix = segs[-1] == "kernel" and torch_key.endswith("weight")
+                out[tuple(segs)] = _to_flax_layout(tensor, leaf.shape, is_weight_matrix)
+                consumed.add(torch_key)
+            except (KeyError, ValueError) as e:
+                missing.append(f"{collection}:{'/'.join(segs)} ({e})")
+                out[tuple(segs)] = leaf
+        leaves = [out[tuple(str(getattr(k, "key", k)) for k in path)] for path, _ in flat[0]]
+        return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(tree), leaves)
+
+    new_params = fill("params", params)
+    new_stats = fill("batch_stats", batch_stats) if batch_stats else {}
+
+    unused = [
+        k for k in sd
+        if k not in consumed
+        and k not in _IGNORED_TORCH_KEYS
+        and not k.endswith(_IGNORED_TORCH_SUFFIXES)
+    ]
+    report = {"missing": missing, "unused": unused}
+    if strict and (missing or unused):
+        raise ValueError(f"conversion incomplete: {report}")
+    return new_params, new_stats, report
+
+
+def load_torch_checkpoint(path, params, batch_stats=None, strict: bool = True):
+    """Load a reference ``.pth`` checkpoint file (train_utils.py:160-180 layout:
+    {'model_state': ..., 'epoch': ...} or a bare state_dict) and convert."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    return convert_state_dict(state_dict, params, batch_stats, strict=strict)

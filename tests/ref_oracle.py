@@ -1,0 +1,109 @@
+"""Test-only loader for the reference PyTorch implementation (read-only oracle).
+
+Instantiates the reference model on CPU by stubbing its CUDA/visualization-only
+dependencies (the pointnet2_ops extension is only *called* in forward paths we never
+run here). Used to (a) enumerate the torch state_dict for converter coverage and
+(b) run the pure-torch submodules (similarity, heads, transformer) as numeric
+oracles against the flax modules with converted weights.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+_loaded = {}
+
+
+def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0):
+    """Returns (torch_model.eval() with randomized weights/BN stats, ref cfg)."""
+    key = (cfg_name, seed)
+    if key in _loaded:
+        return _loaded[key]
+
+    import numpy as np
+    import torch
+
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    if "easydict" not in sys.modules or not hasattr(sys.modules.get("easydict"), "EasyDict"):
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, d=None):
+                for k, v in (d or {}).items():
+                    self[k] = v
+
+            def __setitem__(self, k, v):
+                if isinstance(v, dict) and not isinstance(v, EasyDict):
+                    v = EasyDict(v)
+                if isinstance(v, list):
+                    v = [EasyDict(x) if isinstance(x, dict) else x for x in v]
+                super().__setitem__(k, v)
+                super().__setattr__(k, v)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
+    for name in ["pointnet2_ops", "tensorboardX", "mayavi", "shapely",
+                 "pyquaternion", "pandas", "skimage", "nuscenes", "tqdm"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules.setdefault("pointnet2_ops._ext", types.ModuleType("pointnet2_ops._ext"))
+    thop = types.ModuleType("thop")
+    thop.profile = lambda *a, **k: (0, 0)
+    thop.clever_format = lambda *a, **k: ""
+    sys.modules["thop"] = thop
+
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    from ptt.config import cfg_from_yaml_file
+    from easydict import EasyDict as ED
+
+    ref_cfg = ED()
+    cfg_from_yaml_file(str(REFERENCE_ROOT / "tools/cfgs" / cfg_name), ref_cfg)
+    from ptt.models import build_network
+
+    class _PFE:
+        num_point_features = 3
+
+    class _DS:
+        class_names = ["Car"]
+        training = False
+        grid_size = None
+        point_cloud_range = None
+        voxel_size = None
+        point_feature_encoder = _PFE()
+
+    model = build_network(model_cfg=ref_cfg.MODEL, num_class=1, dataset=_DS())
+
+    # randomize every tensor (weights AND BN running stats) so parity tests are
+    # nontrivial — a fresh model has mean=0/var=1 stats that would mask layout bugs
+    rng = np.random.default_rng(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = rng.standard_normal(tuple(v.shape)) * 0.1
+        if k.endswith("running_var"):
+            arr = np.abs(arr) + 0.5
+        sd[k] = torch.from_numpy(arr.astype(np.float32)).reshape(v.shape)
+    model.load_state_dict(sd)
+    model.eval()
+    _loaded[key] = (model, ref_cfg)
+    return model, ref_cfg
