@@ -60,6 +60,15 @@ class TrackingEvaluator:
         self.logger = logger
         self.track_step = make_track_step(model)
 
+        # native C++ crop for the per-frame host preprocessing when the toolchain
+        # built it; exact-equivalent numpy fallback otherwise (test_native.py)
+        try:
+            from .. import native as _native
+
+            self._native = _native if _native.available() else None
+        except Exception:
+            self._native = None
+
         self.evaluator = Evaluator(ref_coord=str(self.data_cfg.get("REF_COOR", "lidar")))
         self.frame_time = AverageMeter()
         self.batch_num = 0
@@ -84,12 +93,14 @@ class TrackingEvaluator:
             raise ValueError(
                 "TEST.REF_BOX must be previous_result / previous_gt / current_gt"
             )
-        pts = geo.crop_center_pc(
-            this_pc,
-            ref_box,
-            offset=float(self.data_cfg.get("SEARCH_BB_OFFSET", 0.0)),
-            scale=float(self.data_cfg.get("SEARCH_BB_SCALE", 1.25)),
-        )
+        offset = float(self.data_cfg.get("SEARCH_BB_OFFSET", 0.0))
+        scale = float(self.data_cfg.get("SEARCH_BB_SCALE", 1.25))
+        if self._native is not None:
+            yaw = np.arctan2(ref_box.rotation_matrix[1, 0], ref_box.rotation_matrix[0, 0])
+            box_vec = np.array([*ref_box.center, yaw], np.float32)
+            pts, _ = self._native.crop_canonical(this_pc, box_vec, ref_box.wlh, offset, scale)
+        else:
+            pts = geo.crop_center_pc(this_pc, ref_box, offset=offset, scale=scale)
         pts = geo.regularize_pc(pts, int(self.data_cfg["SEARCH_INPUT_SIZE"]), istrain=False)
         return ref_box, pts
 
