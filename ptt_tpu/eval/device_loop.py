@@ -117,65 +117,83 @@ def make_device_tracker(
             "GT-referenced modes are host-evaluator diagnostics"
         )
 
-    def track_one(variables, pcs, counts, init_box, wlh, key):
-        T, N = pcs.shape[0], pcs.shape[1]
-        valid = jnp.arange(N)[None, :] < counts[:, None]  # (T, N)
+    # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
+    _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
+    _resample_b = jax.vmap(masked_resample, in_axes=(0, 0, None, 0))
+    _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
+
+    def track_batched(variables, pcs, counts, init_boxes, wlhs, keys):
+        """Natively batched over tracklets — the model (and its Pallas kernels) see
+        a true (B, ...) batch inside the scan, instead of vmap-lifted singletons
+        (pallas_call under vmap becomes B sequential grid programs on one core)."""
+        B, T, N = pcs.shape[0], pcs.shape[1], pcs.shape[2]
+        valid = jnp.arange(N)[None, None, :] < counts[:, :, None]  # (B, T, N)
 
         # frame-0 template source: crop frame 0 in the init box frame, once
-        first_canon, first_mask = crop_canonical(
-            pcs[0], valid[0], init_box, wlh, model_offset, model_scale
+        first_canon, first_mask = _crop_b(
+            pcs[:, 0], valid[:, 0], init_boxes, wlhs, model_offset, model_scale
         )
-        step_keys = jax.random.split(key, T - 1)
+        # per-row, per-step keys: (B, T-1, ...) -> scan consumes a (B,) slice per step
+        row_keys = jax.vmap(lambda k: jax.random.split(k, T - 1))(keys)
 
-        def step(prev_box, xs):
-            # index into the closed-over (T, N, 3) buffer instead of threading
-            # pcs[1:] / pcs[:-1] through scan xs (which would materialize two extra
-            # nearly-full copies of the tracklet in HBM)
+        def step(prev_boxes, xs):
+            # index into the closed-over (B, T, N, 3) buffer instead of threading
+            # slices through scan xs (which would materialize extra copies in HBM)
             t, k = xs
-            cur_pts, cur_valid = pcs[t], valid[t]
-            prev_pts, prev_valid = pcs[t - 1], valid[t - 1]
-            k_search, k_template = jax.random.split(k)
+            cur_pts = jnp.take(pcs, t, axis=1)
+            cur_valid = jnp.take(valid, t, axis=1)
+            prev_pts = jnp.take(pcs, t - 1, axis=1)
+            prev_valid = jnp.take(valid, t - 1, axis=1)
+            ks = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)  # (B, 2, key)
 
-            search_canon, search_mask = crop_canonical(
-                cur_pts, cur_valid, prev_box, wlh, search_offset, search_scale
+            search_canon, search_mask = _crop_b(
+                cur_pts, cur_valid, prev_boxes, wlhs, search_offset, search_scale
             )
-            search, _ = masked_resample(search_canon, search_mask, search_size, k_search)
+            search, _ = _resample_b(search_canon, search_mask, search_size, ks[:, 0])
 
             if "FIRSTANDPREVIOUS" in aggregation:
-                prev_canon, prev_mask = crop_canonical(
-                    prev_pts, prev_valid, prev_box, wlh, model_offset, model_scale
+                prev_canon, prev_mask = _crop_b(
+                    prev_pts, prev_valid, prev_boxes, wlhs, model_offset, model_scale
                 )
-                tmpl_pts = jnp.concatenate([first_canon, prev_canon], axis=0)
-                tmpl_mask = jnp.concatenate([first_mask, prev_mask], axis=0)
+                tmpl_pts = jnp.concatenate([first_canon, prev_canon], axis=1)
+                tmpl_mask = jnp.concatenate([first_mask, prev_mask], axis=1)
             elif "FIRST" in aggregation:
                 tmpl_pts, tmpl_mask = first_canon, first_mask
             else:  # PREVIOUS
-                tmpl_pts, tmpl_mask = crop_canonical(
-                    prev_pts, prev_valid, prev_box, wlh, model_offset, model_scale
+                tmpl_pts, tmpl_mask = _crop_b(
+                    prev_pts, prev_valid, prev_boxes, wlhs, model_offset, model_scale
                 )
-            template, _ = masked_resample(tmpl_pts, tmpl_mask, template_size, k_template)
+            template, _ = _resample_b(tmpl_pts, tmpl_mask, template_size, ks[:, 1])
 
             out = model.apply(
                 variables,
-                {"search_points": search[None], "template_points": template[None]},
+                {"search_points": search, "template_points": template},
                 train=False,
             )
-            data = out["pred_box_data"][0]  # (np, 5)
-            best = data[jnp.argmax(data[:, 4])]
-            new_box = decode_box_offset(prev_box, best[:4], use_z)
-            return new_box, (new_box, best[4])
+            data = out["pred_box_data"]  # (B, np, 5)
+            best_idx = jnp.argmax(data[:, :, 4], axis=1)  # (B,)
+            best = jnp.take_along_axis(data, best_idx[:, None, None], axis=1)[:, 0]  # (B, 5)
+            new_boxes = _decode_b(prev_boxes, best[:, :4], use_z)
+            return new_boxes, (new_boxes, best[:, 4])
 
-        xs = (jnp.arange(1, T), step_keys)
-        _, (boxes, scores) = jax.lax.scan(step, init_box, xs)
-        boxes = jnp.concatenate([init_box[None], boxes], axis=0)
-        scores = jnp.concatenate([jnp.array([jnp.inf]), scores])
-        return boxes, scores
+        xs = (jnp.arange(1, T), row_keys.swapaxes(0, 1))
+        _, (boxes, scores) = jax.lax.scan(step, init_boxes, xs)
+        boxes = jnp.concatenate([init_boxes[:, None], boxes.swapaxes(0, 1)], axis=1)
+        scores = jnp.concatenate(
+            [jnp.full((B, 1), jnp.inf), scores.swapaxes(0, 1)], axis=1
+        )
+        return boxes, scores  # (B, T, 4), (B, T)
 
     if batched:
-        fn = jax.vmap(track_one, in_axes=(None, 0, 0, 0, 0, 0))
-    else:
-        fn = track_one
-    return jax.jit(fn)
+        return jax.jit(track_batched)
+
+    def track_one(variables, pcs, counts, init_box, wlh, key):
+        boxes, scores = track_batched(
+            variables, pcs[None], counts[None], init_box[None], wlh[None], key[None]
+        )
+        return boxes[0], scores[0]
+
+    return jax.jit(track_one)
 
 
 class DeviceTrackingEvaluator:

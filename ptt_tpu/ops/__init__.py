@@ -9,7 +9,6 @@ the CUDA kernels) so everything compiles to static-shape XLA.
 
 from .point_ops import (
     square_distance,
-    furthest_point_sample,
     furthest_point_sample_with_dist,
     gather_points,
     ball_query,
@@ -19,6 +18,10 @@ from .point_ops import (
     three_nn,
     three_interpolate,
 )
+
+# FPS dispatches to the Pallas TPU kernel on TPU (3x the jnp fori_loop there, exact
+# same indices), jnp elsewhere; see pallas_fps.py for the kernel design.
+from .pallas_fps import furthest_point_sample
 
 __all__ = [
     "square_distance",
