@@ -81,11 +81,15 @@ def decode_box_offset(box_vec, offset4, use_z: bool):
     return jnp.concatenate([new_center, new_yaw[None]])
 
 
+QUANT_SCALE = 1.0 / 256.0  # int16 fixed-point grid: 3.9 mm, range +-128 m
+
+
 def make_device_tracker(
     model,
     data_cfg,
     test_cfg,
     batched: bool = True,
+    quantized_points: bool = False,
 ):
     """Build the jitted whole-tracklet tracker.
 
@@ -125,13 +129,24 @@ def make_device_tracker(
     def track_batched(variables, pcs, counts, init_boxes, wlhs, keys):
         """Natively batched over tracklets — the model (and its Pallas kernels) see
         a true (B, ...) batch inside the scan, instead of vmap-lifted singletons
-        (pallas_call under vmap becomes B sequential grid programs on one core)."""
+        (pallas_call under vmap becomes B sequential grid programs on one core).
+
+        With ``quantized_points`` the (B, T, N, 3) cloud arrives as int16
+        fixed-point (QUANT_SCALE grid) — halving the host->device transfer, which
+        dominates end-to-end time on PCIe/tunnel-attached hosts — and frames are
+        dequantized per scan step (never materializing the f32 buffer in HBM)."""
         B, T, N = pcs.shape[0], pcs.shape[1], pcs.shape[2]
+
+        def frame(t):
+            f = jnp.take(pcs, t, axis=1)
+            if quantized_points:
+                f = f.astype(jnp.float32) * QUANT_SCALE
+            return f
         valid = jnp.arange(N)[None, None, :] < counts[:, :, None]  # (B, T, N)
 
         # frame-0 template source: crop frame 0 in the init box frame, once
         first_canon, first_mask = _crop_b(
-            pcs[:, 0], valid[:, 0], init_boxes, wlhs, model_offset, model_scale
+            frame(0), valid[:, 0], init_boxes, wlhs, model_offset, model_scale
         )
         # per-row, per-step keys: (B, T-1, ...) -> scan consumes a (B,) slice per step
         row_keys = jax.vmap(lambda k: jax.random.split(k, T - 1))(keys)
@@ -140,9 +155,9 @@ def make_device_tracker(
             # index into the closed-over (B, T, N, 3) buffer instead of threading
             # slices through scan xs (which would materialize extra copies in HBM)
             t, k = xs
-            cur_pts = jnp.take(pcs, t, axis=1)
+            cur_pts = frame(t)
             cur_valid = jnp.take(valid, t, axis=1)
-            prev_pts = jnp.take(pcs, t - 1, axis=1)
+            prev_pts = frame(t - 1)
             prev_valid = jnp.take(valid, t - 1, axis=1)
             ks = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)  # (B, 2, key)
 
@@ -212,7 +227,7 @@ class DeviceTrackingEvaluator:
 
     def __init__(self, cfg, model, variables, max_points: int = 16384,
                  frame_bucket: int = 32, batch_size: int = 8, seed: int = 1,
-                 logger=None):
+                 logger=None, quantize: bool = True):
         from .metrics import Evaluator
 
         self.cfg = cfg
@@ -222,8 +237,20 @@ class DeviceTrackingEvaluator:
         self.batch_size = int(batch_size)
         self.seed = seed
         self.logger = logger
-        self.track_fn = make_device_tracker(model, cfg.DATA_CONFIG, cfg.TEST, batched=True)
+        self.quantize = bool(quantize)
+        self.track_fn = make_device_tracker(
+            model, cfg.DATA_CONFIG, cfg.TEST, batched=True,
+            quantized_points=self.quantize,
+        )
         self.evaluator = Evaluator(ref_coord=str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")))
+        try:
+            from .. import native as _native
+
+            self._native = _native if _native.available() else None
+        except Exception:
+            self._native = None
+        if str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")).lower() != "lidar":
+            self._native = None  # C++ scorer implements the lidar BEV footprint
 
     @staticmethod
     def box_to_vec(box) -> np.ndarray:
@@ -233,24 +260,30 @@ class DeviceTrackingEvaluator:
     def _pad_tracklet(self, pcs, T_pad):
         rng = np.random.default_rng(self.seed)
         N = self.max_points
-        out = np.zeros((T_pad, N, 3), np.float32)
+        dtype = np.int16 if self.quantize else np.float32
+        out = np.zeros((T_pad, N, 3), dtype)
         counts = np.zeros((T_pad,), np.int32)
         for t, pc in enumerate(pcs):
             pc = np.asarray(pc, np.float32)
             if pc.shape[0] > N:
                 pc = pc[rng.choice(pc.shape[0], N, replace=False)]
+            if self.quantize:
+                pc = np.clip(np.round(pc / QUANT_SCALE), -32768, 32767).astype(np.int16)
             out[t, : pc.shape[0]] = pc
             counts[t] = pc.shape[0]
         return out, counts
 
-    def track_batch(self, tracklets):
-        """tracklets: list of (pcs, gt_boxes, annos). Returns per-tracklet predicted
-        geo.Box lists; updates metric accumulators."""
+    def dispatch_batch(self, tracklets):
+        """Pack + asynchronously dispatch a batch of tracklets to the device.
+        Returns an opaque handle for ``finish_batch``; the upload and the whole
+        tracklet scan queue behind earlier work, so host scoring of batch k can
+        overlap the device execution of batch k+1."""
         T_max = max(len(pcs) for pcs, _, _ in tracklets)
         T_pad = max(2, -(-T_max // self.frame_bucket) * self.frame_bucket)
         B = len(tracklets)
 
-        pcs_arr = np.zeros((B, T_pad, self.max_points, 3), np.float32)
+        dtype = np.int16 if self.quantize else np.float32
+        pcs_arr = np.zeros((B, T_pad, self.max_points, 3), dtype)
         counts = np.zeros((B, T_pad), np.int32)
         init_boxes = np.zeros((B, 4), np.float32)
         wlhs = np.zeros((B, 3), np.float32)
@@ -260,24 +293,66 @@ class DeviceTrackingEvaluator:
             wlhs[b] = boxes[0].wlh
         keys = jax.random.split(jax.random.PRNGKey(self.seed), B)
 
-        boxes_out, scores = self.track_fn(
+        boxes_dev, scores_dev = self.track_fn(
             self.variables, pcs_arr, counts, init_boxes, wlhs, keys
         )
-        boxes_out = np.asarray(jax.block_until_ready(boxes_out))
+        return (boxes_dev, wlhs, tracklets)
+
+    def finish_batch(self, handle):
+        boxes_dev, wlhs, tracklets = handle
+        boxes_out = np.asarray(jax.block_until_ready(boxes_dev))
+        return self._score(boxes_out, wlhs, tracklets)
+
+    def track_batch(self, tracklets):
+        """tracklets: list of (pcs, gt_boxes, annos). Returns per-tracklet predicted
+        geo.Box lists; updates metric accumulators."""
+        return self.finish_batch(self.dispatch_batch(tracklets))
+
+    def _score(self, boxes_out, wlhs, tracklets):
 
         all_results = []
         for b, (pcs, gt_boxes, _) in enumerate(tracklets):
-            results = []
+            T = len(pcs)
+            results = [
+                geo.Box(
+                    center=boxes_out[b, t, :3].astype(np.float64),
+                    wlh=np.asarray(gt_boxes[0].wlh, np.float64),
+                    orientation=geo.Quaternion(
+                        axis=[0, 0, 1], radians=float(boxes_out[b, t, 3])
+                    ),
+                )
+                for t in range(T)
+            ]
             with self.evaluator:
-                for t in range(len(pcs)):
-                    vec = boxes_out[b, t]
-                    box = geo.Box(
-                        center=vec[:3].astype(np.float64),
-                        wlh=np.asarray(gt_boxes[0].wlh, np.float64),
-                        orientation=geo.Quaternion(axis=[0, 0, 1], radians=float(vec[3])),
+                if self._native is not None:
+                    # batched C++ scoring: the python polygon clipper costs ~1 ms
+                    # per frame and would dominate the whole device-loop eval
+                    gt7 = np.stack(
+                        [
+                            np.concatenate(
+                                [self.box_to_vec(g)[:3], np.asarray(g.wlh, np.float32),
+                                 self.box_to_vec(g)[3:4]]
+                            )
+                            for g in gt_boxes
+                        ]
                     )
-                    results.append(box)
-                    self.evaluator.update_iou(gt_boxes[t], box)
+                    pred7 = np.concatenate(
+                        [
+                            boxes_out[b, :T, :3],
+                            np.broadcast_to(wlhs[b], (T, 3)),
+                            boxes_out[b, :T, 3:4],
+                        ],
+                        axis=1,
+                    ).astype(np.float32)
+                    ious, dists = self._native.box_iou3d_batch(gt7, pred7)
+                    for ov, ds in zip(ious, dists):
+                        for acc in (self.evaluator.Success_main, self.evaluator.Success_batch):
+                            acc.add_overlap(float(ov))
+                        for acc in (self.evaluator.Precision_main, self.evaluator.Precision_batch):
+                            acc.add_accuracy(float(ds))
+                else:
+                    for t in range(T):
+                        self.evaluator.update_iou(gt_boxes[t], results[t])
             all_results.append(results)
         return all_results
 
@@ -299,17 +374,27 @@ def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logge
     ev = DeviceTrackingEvaluator(
         cfg, model, variables, max_points=max_points, batch_size=batch_size, logger=logger
     )
-    pending, n_frames = [], 0
+    # two-stage pipeline: batch k+1's upload+scan queue on the device while the
+    # host blocks on and scores batch k
+    pending, in_flight, n_frames = [], None, 0
     start = time.perf_counter()
     for batch in dataloader:
         for trk in batch:
             pending.append(trk)
             n_frames += len(trk[0])
             if len(pending) == batch_size:
-                ev.track_batch(pending)
+                handle = ev.dispatch_batch(pending)
                 pending = []
+                if in_flight is not None:
+                    ev.finish_batch(in_flight)
+                in_flight = handle
     if pending:
-        ev.track_batch(pending)
+        handle = ev.dispatch_batch(pending)
+        if in_flight is not None:
+            ev.finish_batch(in_flight)
+        in_flight = handle
+    if in_flight is not None:
+        ev.finish_batch(in_flight)
     elapsed = time.perf_counter() - start
     s = ev.summary()
     emit(

@@ -54,6 +54,9 @@ def _load():
         lib.crop_canonical.restype = ctypes.c_int
         lib.compact_masked.argtypes = [f32p, i32p, ctypes.c_int, f32p]
         lib.decode_box_offset.argtypes = [f32p, f32p, ctypes.c_int, f32p]
+        lib.box_iou3d_batch.argtypes = [
+            f32p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - depends on toolchain
         _load_error = e
@@ -119,6 +122,24 @@ def crop_canonical(pts: np.ndarray, box_vec, wlh, offset: float, scale: float):
     compact, cp2 = _f32(np.empty((kept, 3), np.float32))
     lib.compact_masked(opp, mp, pts.shape[0], cp2)
     return compact, mask.astype(bool)
+
+
+def box_iou3d_batch(boxes_a: np.ndarray, boxes_b: np.ndarray, z_axis: bool = False):
+    """Batched reference-metric 3D IoU + center distance.
+
+    boxes (F, 7) = [cx, cy, cz, w, l, h, yaw] in lidar coords. Returns
+    (iou (F,), dist (F,)). Reproduces eval_tracking_metrics.estimateOverlap /
+    estimateAccuracy including the identical-box shortcut and (by default) the
+    vertical-extent quirk; pass z_axis=True for the z-correct variant.
+    """
+    lib = _load()
+    boxes_a, ap = _f32(boxes_a)
+    boxes_b, bp = _f32(boxes_b)
+    n = boxes_a.shape[0]
+    iou, ip = _f32(np.empty(n, np.float32))
+    dist, dp = _f32(np.empty(n, np.float32))
+    lib.box_iou3d_batch(ap, bp, n, int(z_axis), ip, dp)
+    return iou, dist
 
 
 def decode_box_offset(box_vec, offset4, use_z: bool) -> np.ndarray:

@@ -144,3 +144,115 @@ void decode_box_offset(const float* box, const float* offset4, int use_z,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- box IoU
+
+namespace {
+
+// Sutherland–Hodgman clip of convex polygon `subj` (n verts) by the half-plane
+// left of edge a->b. Writes result to `out`, returns vertex count.
+int clip_edge(const double* subj, int n, const double ax, const double ay,
+              const double bx, const double by, double* out) {
+    int m = 0;
+    const double ex = bx - ax, ey = by - ay;
+    for (int i = 0; i < n; ++i) {
+        const double* P = subj + 2 * ((i + n - 1) % n);
+        const double* C = subj + 2 * i;
+        const double sp = ex * (P[1] - ay) - ey * (P[0] - ax);
+        const double sc = ex * (C[1] - ay) - ey * (C[0] - ax);
+        if (sc >= 0) {
+            if (sp < 0) {
+                const double t = sp / (sp - sc);
+                out[2 * m] = P[0] + t * (C[0] - P[0]);
+                out[2 * m + 1] = P[1] + t * (C[1] - P[1]);
+                ++m;
+            }
+            out[2 * m] = C[0];
+            out[2 * m + 1] = C[1];
+            ++m;
+        } else if (sp >= 0) {
+            const double t = sp / (sp - sc);
+            out[2 * m] = P[0] + t * (C[0] - P[0]);
+            out[2 * m + 1] = P[1] + t * (C[1] - P[1]);
+            ++m;
+        }
+    }
+    return m;
+}
+
+double poly_area(const double* poly, int n) {
+    double s = 0.0;
+    for (int i = 0; i < n; ++i) {
+        const int j = (i + 1) % n;
+        s += poly[2 * i] * poly[2 * j + 1] - poly[2 * j] * poly[2 * i + 1];
+    }
+    return std::fabs(s) * 0.5;
+}
+
+// box7 = [cx, cy, cz, w, l, h, yaw]; BEV footprint in x-y, CCW
+void bev_corners(const float* b, double* out) {
+    const double c = std::cos((double)b[6]), s = std::sin((double)b[6]);
+    const double hl = b[4] * 0.5, hw = b[3] * 0.5;
+    const double lx[4] = {hl, hl, -hl, -hl};
+    const double ly[4] = {-hw, hw, hw, -hw};
+    for (int i = 0; i < 4; ++i) {
+        out[2 * i] = b[0] + lx[i] * c - ly[i] * s;
+        out[2 * i + 1] = b[1] + lx[i] * s + ly[i] * c;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched 3D IoU + center distance for lidar-coordinate box pairs, reproducing
+// the reference metric exactly (eval_tracking_metrics.py:52-74) including the
+// camera-convention vertical-extent quirk (center[1]/height) by default;
+// z_axis=1 computes the geometrically-correct z overlap (mid-height centers).
+// Identical boxes short-circuit to IoU 1.0 like the reference's `box_a == box_b`.
+// boxes: (n, 7) = [cx, cy, cz, w, l, h, yaw].
+void box_iou3d_batch(const float* boxes_a, const float* boxes_b, int n,
+                     int z_axis, float* out_iou, float* out_dist) {
+    double polyA[8], polyB[8], buf1[32], buf2[32];
+    for (int i = 0; i < n; ++i) {
+        const float* A = boxes_a + 7 * i;
+        const float* B = boxes_b + 7 * i;
+        const double dx = A[0] - B[0], dy = A[1] - B[1], dz = A[2] - B[2];
+        out_dist[i] = (float)std::sqrt(dx * dx + dy * dy + dz * dz);
+        if (std::memcmp(A, B, 7 * sizeof(float)) == 0) {
+            out_iou[i] = 1.0f;
+            continue;
+        }
+        bev_corners(A, polyA);
+        bev_corners(B, polyB);
+        // clip A by each edge of B
+        int m = 4;
+        std::memcpy(buf1, polyA, sizeof(polyA));
+        double* cur = buf1;
+        double* nxt = buf2;
+        for (int e = 0; e < 4 && m > 0; ++e) {
+            const int f = (e + 1) % 4;
+            m = clip_edge(cur, m, polyB[2 * e], polyB[2 * e + 1],
+                          polyB[2 * f], polyB[2 * f + 1], nxt);
+            std::swap(cur, nxt);
+        }
+        const double inter_area = (m >= 3) ? poly_area(cur, m) : 0.0;
+        double inter_h;
+        if (z_axis) {
+            const double zmax = std::min(A[2] + A[5] * 0.5, B[2] + B[5] * 0.5);
+            const double zmin = std::max(A[2] - A[5] * 0.5, B[2] - B[5] * 0.5);
+            inter_h = std::max(0.0, zmax - zmin);
+        } else {  // reference quirk: vertical extent from center[1] and height
+            const double ymax = std::min(A[1], B[1]);
+            const double ymin = std::max(A[1] - A[5], B[1] - B[5]);
+            inter_h = std::max(0.0, ymax - ymin);
+        }
+        const double inter_vol = inter_area * inter_h;
+        const double volA = (double)A[3] * A[4] * A[5];
+        const double volB = (double)B[3] * B[4] * B[5];
+        const double denom = volA + volB - inter_vol;
+        out_iou[i] = denom > 0 ? (float)(inter_vol / denom) : 0.0f;
+    }
+}
+
+}  // extern "C"

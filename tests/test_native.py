@@ -84,3 +84,36 @@ def test_decode_box_matches_geometry(rng):
         np.testing.assert_allclose(out[:3], host.center, atol=1e-5)
         host_yaw = np.arctan2(host.rotation_matrix[1, 0], host.rotation_matrix[0, 0])
         assert abs((out[3] - host_yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-5
+
+
+def test_box_iou3d_batch_matches_python(rng):
+    """C++ batched IoU/dist vs the python reference-metric implementation."""
+    from ptt_tpu.eval.metrics import estimateAccuracy, estimateOverlap
+
+    n = 50
+    boxes_a, boxes_b, a7, b7 = [], [], [], []
+    for i in range(n):
+        wlh = rng.uniform(1, 4, 3)
+        ca = rng.uniform(-5, 5, 3)
+        # mix: near-overlapping, far, and identical pairs
+        cb = ca + (rng.uniform(-1, 1, 3) if i % 3 else np.zeros(3))
+        ya, yb = rng.uniform(-np.pi, np.pi, 2)
+        if i % 7 == 0:
+            cb, yb = ca.copy(), ya
+        A = geo.Box(center=ca, wlh=wlh.copy(), orientation=geo.Quaternion(axis=[0, 0, 1], radians=ya))
+        B = geo.Box(center=cb, wlh=wlh.copy(), orientation=geo.Quaternion(axis=[0, 0, 1], radians=yb))
+        boxes_a.append(A)
+        boxes_b.append(B)
+        a7.append([*ca, *wlh, ya])
+        b7.append([*cb, *wlh, yb])
+    a7 = np.asarray(a7, np.float32)
+    b7 = np.asarray(b7, np.float32)
+
+    for z_axis in (False, True):
+        ious, dists = native.box_iou3d_batch(a7, b7, z_axis=z_axis)
+        for i in range(n):
+            ref_iou = estimateOverlap(boxes_a[i], boxes_b[i], dim=3, ref_coord="lidar",
+                                      z_axis=z_axis)
+            ref_dist = estimateAccuracy(boxes_a[i], boxes_b[i], dim=3)
+            assert abs(ious[i] - ref_iou) < 2e-4, (i, z_axis, ious[i], ref_iou)
+            assert abs(dists[i] - ref_dist) < 1e-4
