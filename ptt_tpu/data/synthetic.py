@@ -60,6 +60,9 @@ class SyntheticTrackingDataset(TrackingDataset):
         n_pts = int(dataset_cfg.get("POINTS_PER_FRAME", 600))
         n_clutter = int(dataset_cfg.get("CLUTTER_POINTS", 400))
         gen_seed = int(dataset_cfg.get("SYNTH_SEED", 1234))
+        # train and test splits generate disjoint tracklets
+        if not training:
+            gen_seed += 100003
 
         rng = np.random.default_rng(gen_seed)
         self.tracklets = [

@@ -365,15 +365,29 @@ class DeviceTrackingEvaluator:
 
 
 def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logger=None,
-                          max_points: int = 16384, batch_size: int = 8):
+                          max_points: int = 16384, batch_size: int = 8,
+                          _evaluator_cache: dict = None):
     """Device-loop twin of eval_one_epoch: groups test tracklets into device batches.
-    Returns (success, precision, frames_per_second)."""
+    Returns (success, precision, frames_per_second).
+
+    Pass the same dict as ``_evaluator_cache`` across calls (e.g. eval-during-
+    training) to reuse one compiled tracker — only the variables are swapped;
+    metric accumulators reset per call."""
     import time
 
+    from .metrics import Evaluator
+
     emit = logger.info if logger is not None else print
-    ev = DeviceTrackingEvaluator(
-        cfg, model, variables, max_points=max_points, batch_size=batch_size, logger=logger
-    )
+    if _evaluator_cache is not None and "ev" in _evaluator_cache:
+        ev = _evaluator_cache["ev"]
+        ev.variables = variables
+        ev.evaluator = Evaluator(ref_coord=str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")))
+    else:
+        ev = DeviceTrackingEvaluator(
+            cfg, model, variables, max_points=max_points, batch_size=batch_size, logger=logger
+        )
+        if _evaluator_cache is not None:
+            _evaluator_cache["ev"] = ev
     # two-stage pipeline: batch k+1's upload+scan queue on the device while the
     # host blocks on and scores batch k
     pending, in_flight, n_frames = [], None, 0

@@ -65,6 +65,10 @@ def _fps_kernel(npoint: int, B: int, n: int, xyz_ref, out_ref, min_d2_ref):
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int, interpret: bool = False):
     """xyz (B, N, 3) -> (B, npoint) int32 via the Pallas kernel."""
     B, N, _ = xyz.shape
+    # index-valued op: no gradient flows through sampling (the CUDA kernel's
+    # wrapper marks it non-differentiable too); stop_gradient keeps AD from
+    # attempting a JVP rule for the pallas_call
+    xyz = jax.lax.stop_gradient(xyz)
     xyz_t = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
     kernel = functools.partial(_fps_kernel, npoint, B, N)
     return pl.pallas_call(

@@ -120,6 +120,7 @@ def main():
         )
         start_ep = int(with_eval.get("START_EPOCH", 0))
         interval = int(with_eval.get("INTERVAL", 1))
+        eval_state = {}  # one evaluator reused across epochs (compiled once)
 
         def eval_fn(state, epoch):
             if epoch < start_ep or epoch % interval:
@@ -127,6 +128,7 @@ def main():
             succ, prec, fps = eval_one_epoch_device(
                 cfg, model, {"params": state.params, "batch_stats": state.batch_stats},
                 test_loader, epoch_id=epoch, logger=logger,
+                _evaluator_cache=eval_state,
             )
             return {"succ": succ, "prec": prec, "fps": fps}
 
