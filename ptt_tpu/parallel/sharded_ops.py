@@ -21,10 +21,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.6 top-level API; experimental path kept for older versions
-    from jax import shard_map
+try:  # jax >= 0.6 top-level API (check_vma kwarg); experimental path for older
+    from jax import shard_map as _raw_shard_map
+
+    def _shard_map(fn, mesh, in_specs, out_specs):
+        return _raw_shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+    def _shard_map(fn, mesh, in_specs, out_specs):
+        return _raw_shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
 
 from ..nn.layers import MLP2  # noqa: F401  (re-exported for sharded attention users)
 from ..ops import point_ops
@@ -34,8 +44,7 @@ def _point_sharded(mesh: Mesh, axis: str, fn, n_in_sharded: int = 1, n_in_replic
     """shard_map wrapper: first ``n_in_sharded`` args sharded on their 2nd dim
     (B, N, ...), the rest replicated; output sharded on its 2nd dim."""
     in_specs = tuple([P(None, axis)] * n_in_sharded + [P()] * n_in_replicated)
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P(None, axis),
-                     check_rep=False)
+    return _shard_map(fn, mesh, in_specs, P(None, axis))
 
 
 def sharded_square_distance(query, ref, mesh: Mesh, axis: str = "data"):
@@ -75,10 +84,8 @@ def sharded_vector_attention(apply_fn, variables, xyz, features, mesh: Mesh,
         idx = point_ops.knn(k, xyz_shard, xyz_full)
         return apply_fn(variables, xyz_shard, feats_shard, xyz_full, feats_full, idx)
 
-    fn = shard_map(
-        _one, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(), P()),
-        out_specs=P(None, axis), check_rep=False,
+    fn = _shard_map(
+        _one, mesh, (P(None, axis), P(None, axis), P(), P()), P(None, axis)
     )
     return fn(xyz, features, xyz, features)
 
