@@ -47,6 +47,17 @@ class TrackingDataset:
         aug_cfg = dataset_cfg.get("DATA_AUGMENTOR")
         self.data_augmentor = DataAugmentor(aug_cfg) if (aug_cfg and training) else None
 
+        # opt-in processor queue; the reference configures but never invokes its
+        # DataProcessor on tracking items (SURVEY.md §7 quirks) — here it runs
+        # when DATA_PROCESSOR is present in the config
+        proc_cfg = dataset_cfg.get("DATA_PROCESSOR")
+        if proc_cfg:
+            from .processor import DataProcessor
+
+            self.data_processor = DataProcessor(proc_cfg, training)
+        else:
+            self.data_processor = None
+
         self.tracklets: list[list[dict]] = []
         self._frame_map: list[tuple[int, int]] = []
 
@@ -90,6 +101,8 @@ class TrackingDataset:
                 item = self.point_feature_encoder.forward(item)
             if self.data_augmentor is not None:
                 item = self.data_augmentor.forward(item, rng=rng)
+            if self.data_processor is not None:
+                item = self.data_processor.forward(item, rng=rng)
             return item
         return self.get_test_item(index)
 

@@ -63,6 +63,10 @@ class Trainer:
             optim_cfg, iters_per_epoch, self.total_epochs
         )
 
+        # optional BN-momentum schedule (reference BNMomentumScheduler; see
+        # bn_momentum.py for the recompile-free EMA correction)
+        self.bn_sched_cfg = optim_cfg.get("BN_SCHEDULER")
+
         sample_batch = self._sample_batch()
         self.state = create_train_state(
             model, tx, sample_batch, rng=jax.random.PRNGKey(seed)
@@ -103,9 +107,28 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             t0 = time.perf_counter()
             metrics = None
+            if self.bn_sched_cfg:
+                from .bn_momentum import bn_momentum_for_epoch, rescale_batch_stats
+                import jax.numpy as jnp
+
+                torch_m = bn_momentum_for_epoch(
+                    epoch,
+                    bn_init=float(self.bn_sched_cfg.get("BN_INIT", 0.5)),
+                    bn_decay=float(self.bn_sched_cfg.get("BN_DECAY", 0.5)),
+                    decay_step=int(self.bn_sched_cfg.get("DECAY_STEP", 20)),
+                    bn_clip=float(self.bn_sched_cfg.get("BN_CLIP", 0.01)),
+                )
             for batch in self.train_loader:
                 batch = shard_batch(batch, self.mesh)
+                if self.bn_sched_cfg:
+                    old_stats = jax.tree_util.tree_map(jnp.copy, self.state.batch_stats)
                 self.state, metrics = self.train_step(self.state, batch)
+                if self.bn_sched_cfg:
+                    self.state = self.state.replace(
+                        batch_stats=rescale_batch_stats(
+                            old_stats, self.state.batch_stats, 1.0 - torch_m
+                        )
+                    )
                 self.accumulated_iter += 1
                 if self.tb_writer is not None:
                     cur_lr = float(self.lr_schedule(self.accumulated_iter))
