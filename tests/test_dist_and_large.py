@@ -1,0 +1,54 @@
+"""Multi-host helper tests (single-process semantics) and the Waymo-scale stretch
+config (2048-pt search regions, multi-head 2-layer transformers) through the full
+network."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ptt_tpu.config import cfg_from_yaml_file
+from ptt_tpu.utils.dist import all_gather_array, get_dist_info, merge_metric_lists
+
+
+def test_get_dist_info_single_process():
+    rank, world = get_dist_info()
+    assert rank == 0 and world == 1
+
+
+def test_all_gather_single_process(rng):
+    x = rng.standard_normal(5)
+    out = all_gather_array(x)
+    assert out.shape == (1, 5)
+    np.testing.assert_array_equal(out[0], x)
+
+
+def test_merge_metric_lists(rng):
+    vals = [0.5, 0.75, 1.0]
+    out = merge_metric_lists(vals)
+    np.testing.assert_allclose(out, vals)
+
+
+def test_large_config_forward():
+    cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt_large.yaml")
+    assert cfg.DATA_CONFIG.SEARCH_INPUT_SIZE == 2048
+    assert cfg.MODEL.CENTROID_HEAD.TRANSFORMER_BLOCK.N_LAYERS == 2
+    # base-config keys inherited
+    assert cfg.MODEL.BACKBONE_3D.SA_CONFIG.RADIUS == [0.3, 0.5, 0.7]
+
+    from ptt_tpu.nn import build_network
+
+    model = build_network(cfg.MODEL)
+    batch = {
+        "search_points": jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 2048, 3)), jnp.float32
+        ),
+        "template_points": jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 1024, 3)), jnp.float32
+        ),
+    }
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["search_seeds"].shape == (1, 256, 3)
+    assert out["pred_box_data"].shape == (1, 128, 5)
+    assert np.isfinite(np.asarray(out["pred_box_data"])).all()
