@@ -16,4 +16,4 @@ Design stance (TPU-first, not a port):
     collectives over ICI), not NCCL process groups.
 """
 
-__version__ = "0.1.0"
+from .version import __version__  # noqa: E402,F401

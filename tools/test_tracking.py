@@ -15,7 +15,6 @@ Two execution paths:
 
 import argparse
 import datetime
-import re
 import sys
 import time
 from pathlib import Path
@@ -108,14 +107,21 @@ def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, ep
     return succ, prec
 
 
-def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir):
+def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir,
+                     poll_interval: float = 30.0, eval_fn=None):
     """Watch ``ckpt_dir`` for new checkpoints; evaluate each once; give up after
-    ``--max_waiting_mins`` without a new one (reference test_tracking.py:80-119)."""
+    ``--max_waiting_mins`` without a new one (reference test_tracking.py:80-119).
+    ``eval_fn`` overrides the per-checkpoint evaluation (tests)."""
+    eval_fn = eval_fn or eval_single_ckpt
     ckpt_dir = Path(ckpt_dir)
     record_file = result_dir / "eval_list.txt"
     evaluated = set()
     if record_file.exists():
-        evaluated = {int(s) for s in re.findall(r"\d+", record_file.read_text())}
+        evaluated = {
+            int(line.split()[0])
+            for line in record_file.read_text().splitlines()
+            if line.strip()
+        }
     wait_start = time.time()
     while True:
         steps = sorted(
@@ -123,14 +129,14 @@ def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir):
         ) if ckpt_dir.exists() else []
         todo = [s for s in steps if s not in evaluated and s >= args.start_epoch]
         if not todo:
-            if (time.time() - wait_start) / 60 > args.max_waiting_mins:
+            if (time.time() - wait_start) / 60 >= args.max_waiting_mins:
                 logger.info("max waiting time reached; stopping watcher")
                 return
-            time.sleep(30)
+            time.sleep(poll_interval)
             continue
         wait_start = time.time()
         for step in todo:
-            succ, prec = eval_single_ckpt(
+            succ, prec = eval_fn(
                 args, cfg, model, loader, ckpt_dir / str(step), logger,
                 result_dir / f"epoch_{step}", epoch_tag=step,
             )
