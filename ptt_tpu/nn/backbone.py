@@ -42,14 +42,19 @@ class PointNet2BackboneLight(nn.Module):
         self.cov_final = nn.Dense(256)
         self.num_point_features = sa_cfg["MLPS"][-1][-1]
 
-    def _branch(self, points, npoints, train):
-        """One Siamese branch: 3 SA stages + final projection + index composition."""
+    def _branch(self, points, npoints, train, inds0=None):
+        """One Siamese branch: 3 SA stages + final projection + index composition.
+        ``inds0`` optionally supplies precomputed stage-0 sample indices (the fused
+        Siamese FPS below)."""
         xyz = points[..., 0:3]
         features = points[..., 3:] if points.shape[-1] > 3 else None
 
         inds_list = []
-        for stage, npoint in zip(self.sa_stages, npoints):
-            xyz, features, inds = stage(xyz, features, npoint=int(npoint), train=train)
+        for k, (stage, npoint) in enumerate(zip(self.sa_stages, npoints)):
+            xyz, features, inds = stage(
+                xyz, features, npoint=int(npoint), train=train,
+                inds=inds0 if k == 0 else None,
+            )
             inds_list.append(inds)
 
         point_features = self.cov_final(features)
@@ -61,16 +66,28 @@ class PointNet2BackboneLight(nn.Module):
     def __call__(self, batch, train: bool = False):
         sa_cfg = self.model_cfg["SA_CONFIG"]
         out = dict(batch)
+
+        # Fused Siamese FPS: stage-0 sampling of both branches in one kernel call —
+        # FPS rounds vectorize over rows, so the template's (fewer) rounds ride the
+        # search call for free instead of a second sequential pass.
+        inds0_s = inds0_t = None
+        if sa_cfg["SAMPLE_METHOD"][0] == "fps":
+            inds0_s, inds0_t = ops.furthest_point_sample_pair(
+                batch["search_points"][..., 0:3], int(sa_cfg["NPOINTS_SEARCH"][0]),
+                batch["template_points"][..., 0:3], int(sa_cfg["NPOINTS_TEMPLATE"][0]),
+            )
         (
             out["search_seeds"],
             out["search_feats"],
             out["search_inds"],
-        ) = self._branch(batch["search_points"], sa_cfg["NPOINTS_SEARCH"], train)
+        ) = self._branch(batch["search_points"], sa_cfg["NPOINTS_SEARCH"], train,
+                         inds0=inds0_s)
         (
             out["template_seeds"],
             out["template_feats"],
             out["template_inds"],
-        ) = self._branch(batch["template_points"], sa_cfg["NPOINTS_TEMPLATE"], train)
+        ) = self._branch(batch["template_points"], sa_cfg["NPOINTS_TEMPLATE"], train,
+                         inds0=inds0_t)
         out.pop("search_points")
         out.pop("template_points")
         return out

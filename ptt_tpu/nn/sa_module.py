@@ -59,8 +59,10 @@ class PointnetSAModule(nn.Module):
     bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, features=None, npoint: int = None, train: bool = False):
-        inds = sample_indices(self.sample_method, xyz, features, npoint)
+    def __call__(self, xyz, features=None, npoint: int = None, train: bool = False,
+                 inds=None):
+        if inds is None:
+            inds = sample_indices(self.sample_method, xyz, features, npoint)
         new_xyz = ops.gather_points(xyz, inds)
 
         grouped, _, _ = ops.query_and_group(

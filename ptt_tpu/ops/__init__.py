@@ -21,7 +21,7 @@ from .point_ops import (
 
 # FPS dispatches to the Pallas TPU kernel on TPU (3x the jnp fori_loop there, exact
 # same indices), jnp elsewhere; see pallas_fps.py for the kernel design.
-from .pallas_fps import furthest_point_sample
+from .pallas_fps import furthest_point_sample, furthest_point_sample_pair
 
 __all__ = [
     "square_distance",

@@ -93,3 +93,30 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     if on_tpu():
         return furthest_point_sample_pallas(xyz, npoint)
     return point_ops.furthest_point_sample(xyz, npoint)
+
+
+def furthest_point_sample_pair(xyz_a, npoint_a: int, xyz_b, npoint_b: int):
+    """FPS over two point sets in ONE kernel invocation (the Siamese search +
+    template branches). FPS cost is sequential rounds x per-round latency, and
+    rounds vectorize over batch rows — so the smaller set's rounds ride along with
+    the larger set's for free instead of paying a second sequential pass.
+
+    The smaller set is padded to the larger N with copies of its point 0: pads
+    have min-distance 0 from round 0 (index 0 is always selected first) and are
+    never the argmax while any real point remains, and greedy FPS is prefix-stable
+    so truncating the padded run to ``npoint_b`` equals the unpadded run.
+
+    Returns (idx_a (B, npoint_a), idx_b (B, npoint_b)) — bit-identical to two
+    separate calls.
+    """
+    assert xyz_a.shape[1] >= xyz_b.shape[1] and npoint_a >= npoint_b, (
+        "pass the larger branch first"
+    )
+    B, Na, _ = xyz_a.shape
+    Nb = xyz_b.shape[1]
+    if Nb < Na:
+        pad = jnp.broadcast_to(xyz_b[:, :1], (B, Na - Nb, 3))
+        xyz_b = jnp.concatenate([xyz_b, pad], axis=1)
+    stacked = jnp.concatenate([xyz_a, xyz_b], axis=0)  # (2B, Na, 3)
+    idx = furthest_point_sample(stacked, npoint_a)
+    return idx[:B], idx[B:, :npoint_b]

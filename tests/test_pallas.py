@@ -33,3 +33,22 @@ def test_pallas_fps_starts_at_zero(rng):
     xyz = jnp.asarray(rng.standard_normal((3, 100, 3)), jnp.float32)
     got = np.asarray(furthest_point_sample_pallas(xyz, 10, interpret=True))
     assert (got[:, 0] == 0).all()
+
+from ptt_tpu.ops.pallas_fps import furthest_point_sample_pair
+
+def test_fused_pair_fps_matches_separate(rng):
+    import jax.numpy as jnp
+    a = jnp.asarray(rng.standard_normal((3, 256, 3)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, 128, 3)), jnp.float32)
+    ia, ib = furthest_point_sample_pair(a, 64, b, 32)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(furthest_point_sample(a, 64)))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(furthest_point_sample(b, 32)))
+
+def test_fused_pair_fps_equal_sizes(rng):
+    import jax.numpy as jnp
+    a = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    ia, ib = furthest_point_sample_pair(a, 32, b, 32)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(furthest_point_sample(a, 32)))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(furthest_point_sample(b, 32)))
+
