@@ -4,6 +4,11 @@ epoch-level eval entry (reference tools/eval_utils/; SURVEY.md L7)."""
 
 from .metrics import Evaluator, Precision, Success, estimateAccuracy, estimateOverlap
 from .evaluator import TrackingEvaluator, eval_one_epoch, make_track_step
+from .device_loop import (
+    DeviceTrackingEvaluator,
+    eval_one_epoch_device,
+    make_device_tracker,
+)
 
 __all__ = [
     "Evaluator",
@@ -14,4 +19,7 @@ __all__ = [
     "TrackingEvaluator",
     "eval_one_epoch",
     "make_track_step",
+    "DeviceTrackingEvaluator",
+    "eval_one_epoch_device",
+    "make_device_tracker",
 ]
