@@ -26,6 +26,7 @@ from .pallas_fps import furthest_point_sample, furthest_point_sample_pair
 __all__ = [
     "square_distance",
     "furthest_point_sample",
+    "furthest_point_sample_pair",
     "furthest_point_sample_with_dist",
     "gather_points",
     "ball_query",
