@@ -60,13 +60,19 @@ def _flax_to_torch_key(collection: str, segs: list) -> str:
         elif seg == "transformer_block":
             out.append(seg)
             rest = segs[i + 1:]
-            if rest[0] in ("fc1", "fc2") or rest[0].startswith("w_"):
+            if rest[0].startswith("layer_"):  # MulTransformerBlock stack
+                out.append(f"layers.{rest[0].split('_')[-1]}")
+                rest = rest[1:]
+            if rest[0] in ("fc1", "fc2", "proj") or rest[0].startswith("w_"):
                 leaf = rest[-1]  # Dense_0/{kernel,bias}
                 out.append(f"{rest[0]}.{'weight' if leaf == 'kernel' else 'bias'}")
             elif rest[0] in ("fc_delta", "fc_gamma"):
                 k = int(rest[1].split("_")[-1])  # Linear_k -> sequential index 2k
                 leaf = rest[-1]
                 out.append(f"{rest[0]}.{2 * k}.{'weight' if leaf == 'kernel' else 'bias'}")
+            elif rest[0] in ("norm1", "norm2"):  # LayerNorm: scale -> weight
+                leaf = rest[-1]
+                out.append(f"{rest[0]}.{'weight' if leaf == 'scale' else 'bias'}")
             else:
                 raise KeyError(f"unknown transformer sub-path {rest}")
             return ".".join(out)

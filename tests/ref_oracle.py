@@ -21,9 +21,12 @@ def reference_available() -> bool:
 _loaded = {}
 
 
-def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0):
-    """Returns (torch_model.eval() with randomized weights/BN stats, ref cfg)."""
-    key = (cfg_name, seed)
+def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=None,
+                         cache_key=None):
+    """Returns (torch_model.eval() with randomized weights/BN stats, ref cfg).
+    ``cfg_mutator(ref_cfg)`` can modify the config before the model is built
+    (e.g. switch transformer variants)."""
+    key = (cfg_name, seed, cache_key)
     if key in _loaded:
         return _loaded[key]
 
@@ -77,6 +80,8 @@ def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0):
 
     ref_cfg = ED()
     cfg_from_yaml_file(str(REFERENCE_ROOT / "tools/cfgs" / cfg_name), ref_cfg)
+    if cfg_mutator is not None:
+        cfg_mutator(ref_cfg)
     from ptt.models import build_network
 
     class _PFE:

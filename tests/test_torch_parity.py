@@ -150,3 +150,67 @@ def test_centroid_head_parity(converted, rng):
     np.testing.assert_allclose(np.asarray(out["pred_centroids_cls"]), ref_cls, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["pred_centroids_votes"]), ref_votes, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["votes_feats"]), ref_votes_feats, atol=2e-4)
+
+
+def _mul_transformer_cfg(ref_cfg):
+    for head in ("CENTROID_HEAD", "BOX_HEAD"):
+        tb = ref_cfg.MODEL[head]["TRANSFORMER_BLOCK"]
+        tb["NAME"] = "MulTransformerBlock"
+        tb["N_HEADS"] = 4
+        tb["N_LAYERS"] = 2
+
+
+@pytest.fixture(scope="module")
+def converted_multihead():
+    """PTT with 4-head 2-layer MulTransformerBlocks (the journal-paper variant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptt_tpu.config import cfg_from_yaml_file
+    from ptt_tpu.nn import build_network
+    from ptt_tpu.utils.torch_converter import convert_state_dict
+
+    torch_model, _ = load_reference_model(
+        cfg_mutator=_mul_transformer_cfg, cache_key="multihead", seed=1
+    )
+    cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt.yaml")
+    for head in ("CENTROID_HEAD", "BOX_HEAD"):
+        tb = cfg.MODEL[head]["TRANSFORMER_BLOCK"]
+        tb["NAME"] = "MulTransformerBlock"
+        tb["N_HEADS"] = 4
+        tb["N_LAYERS"] = 2
+    model = build_network(cfg.MODEL)
+    batch = {
+        "search_points": jnp.zeros((2, 1024, 3)),
+        "template_points": jnp.zeros((2, 512, 3)),
+    }
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch)
+    params, batch_stats, report = convert_state_dict(
+        torch_model.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    assert not report["missing"] and not report["unused"], report
+    return cfg, model, {"params": params, "batch_stats": batch_stats}, torch_model
+
+
+def test_multihead_transformer_parity(converted_multihead, rng):
+    import torch
+    import jax.numpy as jnp
+
+    cfg, model, variables, torch_model = converted_multihead
+    B, n, C = 2, 128, 256
+    xyz = rng.standard_normal((B, n, 3)).astype(np.float32)
+    feats = rng.standard_normal((B, n, C)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = torch_model.centroid_voting_head.transformer_block(
+            torch.from_numpy(xyz), torch.from_numpy(feats)
+        )[0].numpy()
+
+    from ptt_tpu.nn.transformer import build_transformer
+
+    block = build_transformer(cfg.MODEL["CENTROID_HEAD"]["TRANSFORMER_BLOCK"])
+    tb_vars = {
+        "params": variables["params"]["centroid_voting_head"]["transformer_block"]
+    }
+    out, _ = block.apply(tb_vars, jnp.asarray(xyz), jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-4)
