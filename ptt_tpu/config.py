@@ -116,11 +116,17 @@ def _resolve_base_path(base_path, rel_to=None):
 
 def merge_new_config(config, new_config, rel_to=None):
     if "_BASE_CONFIG_" in new_config:
-        with open(_resolve_base_path(new_config["_BASE_CONFIG_"], rel_to), "r") as f:
+        base_path = _resolve_base_path(new_config["_BASE_CONFIG_"], rel_to)
+        with open(base_path, "r") as f:
             base = yaml.safe_load(f)
-        config.update(ConfigDict(base))
+        # recurse: the base may itself have a _BASE_CONFIG_ (chains like
+        # p2b_synth -> ptt_synth -> kitti/ptt), and sections must DEEP-merge so a
+        # child overriding two keys of OPTIMIZATION keeps the parent's others
+        merge_new_config(config, base, rel_to=base_path)
 
     for key, val in new_config.items():
+        if key == "_BASE_CONFIG_":
+            continue
         if not isinstance(val, dict):
             config[key] = val
             continue

@@ -46,3 +46,17 @@ def test_cfg_pickles():
     c = ConfigDict({"A": {"B": 1}})
     c2 = pickle.loads(pickle.dumps(c))
     assert c2.A.B == 1
+
+
+def test_nested_base_config_chain_deep_merges():
+    """3-level _BASE_CONFIG_ chains must deep-merge: a child overriding two
+    OPTIMIZATION keys keeps the grandparent's optimizer settings."""
+    from ptt_tpu.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("tools/cfgs/synthetic_models/p2b_synth.yaml")
+    assert cfg.OPTIMIZATION.OPTIMIZER == "adam"          # grandparent (kitti/ptt)
+    assert cfg.OPTIMIZATION.NUM_EPOCHS == 15             # child override
+    assert cfg.MODEL.CENTROID_HEAD.TRANSFORMER_BLOCK.ENABLE is False
+    assert cfg.MODEL.CENTROID_HEAD.CLS_FC.CHANNELS == [256, 256, 256, 1]
+    assert cfg.DATA_CONFIG.DATASET == "SyntheticTrackingDataset"  # parent
+    assert "_BASE_CONFIG_" not in cfg
