@@ -88,9 +88,21 @@ def make_data_mesh(devices=None, axis: str = "data"):
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host-global numpy batch onto the mesh, sharded along the batch dim."""
+    """Place a numpy batch onto the mesh, sharded along the batch dim.
+
+    Single-host: ``batch`` is the global batch, device_put splits it.
+    Multi-host: each process holds only ITS shard of every global batch (the
+    loader's num_shards/shard_id), and the global array is assembled from the
+    per-process pieces — the jax-native replacement for DistributedSampler + DDP.
+    """
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    from jax.experimental import multihost_utils  # noqa: F401  (doc pointer)
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )
 
 
 def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data"):

@@ -52,3 +52,12 @@ def test_large_config_forward():
     assert out["search_seeds"].shape == (1, 256, 3)
     assert out["pred_box_data"].shape == (1, 128, 5)
     assert np.isfinite(np.asarray(out["pred_box_data"])).all()
+
+
+def test_nuscenes_config_parses_and_builds():
+    cfg = cfg_from_yaml_file("tools/cfgs/nuscenes_models/ptt.yaml")
+    assert cfg.DATA_CONFIG.DATASET == "NuscenesTrackingDataset"
+    from ptt_tpu.nn import build_network
+
+    model = build_network(cfg.MODEL)
+    assert model is not None
