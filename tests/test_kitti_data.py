@@ -157,3 +157,24 @@ def test_database_cache_roundtrip(kitti_root):
     np.testing.assert_allclose(
         ds2.tracklets[0][0]["box"].center, ds1.tracklets[0][0]["box"].center
     )
+
+
+def test_track3d_label_parser(kitti_root):
+    """Per-line label object accessor (reference track3d_kitti.py)."""
+    from ptt_tpu.data.kitti_label import Track3d, get_objects_from_label
+
+    root, centers = kitti_root
+    objs = get_objects_from_label(root / "training" / "label_02" / "0000.txt")
+    assert len(objs) == 3
+    o = objs[0]
+    assert o.cls_type == "Car" and o.cls_id == 1
+    assert o.track_id == "1" and o.frame_id == "0"
+    assert (o.h, o.w, o.l) == (CAR["h"], CAR["w"], CAR["l"])
+    corners = o.generate_corners3d()
+    assert corners.shape == (8, 3)
+    # bottom-center parametrization: min corner y == loc y (camera y points down)
+    assert abs(corners[:, 1].max() - o.loc[1]) < 1e-6
+    # kitti round trip re-parses to the same values
+    o2 = Track3d("0 1 " + o.to_kitti_format().split(" ", 1)[0] + " " +
+                 o.to_kitti_format().split(" ", 1)[1])
+    assert o2.cls_type == o.cls_type and abs(o2.ry - o.ry) < 0.01
