@@ -6,8 +6,9 @@ model -> download -> numpy decode, every frame).
 Why: each host<->device interaction costs a fixed dispatch/transfer latency; the
 reference pays 3+ of them per frame at batch=1. Here a tracklet's padded point
 clouds are uploaded once, the scan carries the predicted box as device state, and
-one (T, 5) array comes back — so per-frame cost approaches pure compute. A vmapped
-variant tracks B tracklets per dispatch for throughput.
+one (T, 4) box array comes back — so per-frame cost approaches pure compute. The
+tracker is natively batched over tracklets (a true (B, ...) batch inside the scan)
+for throughput.
 
 Semantics mirror the host evaluator (evaluator.py / reference crop_center_pc,
 get_model, regularize_pc, get_box_by_offset) with two documented deviations, both
@@ -22,8 +23,6 @@ standard 'first' / 'previous' / 'firstandprevious' modes here.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
