@@ -102,8 +102,8 @@ def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=N
     rng = np.random.default_rng(seed)
     sd = model.state_dict()
     for k, v in sd.items():
-        if k.endswith("num_batches_tracked"):
-            continue
+        if k.endswith("num_batches_tracked") or "loss_func" in k:
+            continue  # keep config-derived buffers (pos_weight) intact
         arr = rng.standard_normal(tuple(v.shape)) * 0.1
         if k.endswith("running_var"):
             arr = np.abs(arr) + 0.5

@@ -214,3 +214,74 @@ def test_multihead_transformer_parity(converted_multihead, rng):
     }
     out, _ = block.apply(tb_vars, jnp.asarray(xyz), jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-4)
+
+
+def test_loss_parity(converted, rng):
+    """compute_losses vs the reference heads' get_loss on identical predictions."""
+    import torch
+    import jax.numpy as jnp
+
+    from ptt_tpu.config import cfg_from_yaml_file
+    from ptt_tpu.nn.losses import box_head_losses, centroid_head_losses
+
+    _, _, torch_model = converted
+    cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt.yaml")
+    B, n, npv = 3, 128, 64
+    cls_pred = rng.standard_normal((B, n)).astype(np.float32)
+    votes = rng.standard_normal((B, n, 3)).astype(np.float32)
+    raw_cls_label = (rng.random((B, 1024)) > 0.6).astype(np.float32)
+    search_inds = rng.integers(0, 1024, (B, n)).astype(np.int32)
+    reg_label = (rng.standard_normal((B, 4)) * 0.3).astype(np.float32)
+    centers = (rng.standard_normal((B, npv, 3)) * 0.4).astype(np.float32)
+    box_data = rng.standard_normal((B, npv, 5)).astype(np.float32)
+
+    # ---- centroid head
+    head = torch_model.centroid_voting_head
+    head.forward_ret_dict = {
+        "pred_centroids_cls": torch.from_numpy(cls_pred),
+        "pred_centroids_votes": torch.from_numpy(votes),
+        "cls_label": torch.from_numpy(raw_cls_label).gather(
+            1, torch.from_numpy(search_inds).long()
+        ),
+        "reg_label": torch.from_numpy(reg_label),
+    }
+    with torch.no_grad():
+        ref_total, ref_tb = head.get_loss()
+    my_total, my_tb = centroid_head_losses(
+        {
+            "pred_centroids_cls": jnp.asarray(cls_pred),
+            "pred_centroids_votes": jnp.asarray(votes),
+            "search_inds": jnp.asarray(search_inds),
+        },
+        {"cls_label": jnp.asarray(raw_cls_label), "reg_label": jnp.asarray(reg_label)},
+        cfg.MODEL["CENTROID_HEAD"]["LOSS_CONFIG"],
+    )
+    assert float(my_total) == pytest.approx(float(ref_total), rel=1e-5)
+    assert float(my_tb["centroids_cls_loss"]) == pytest.approx(ref_tb["centroids_cls_loss"], rel=1e-5)
+    assert float(my_tb["centroids_reg_loss"]) == pytest.approx(ref_tb["centroids_reg_loss"], rel=1e-4)
+
+    # ---- box head (objectness labels derived from center distance inside)
+    bhead = torch_model.box_voting_head
+    t_centers = torch.from_numpy(centers)
+    t_reg = torch.from_numpy(reg_label)
+    dist = torch.sqrt(torch.sum((t_centers - t_reg[:, None, 0:3]) ** 2, dim=-1) + 1e-6)
+    obj_label = (dist < 0.3).float()
+    obj_mask = ((dist < 0.3) | (dist > 0.6)).float()
+    assert float(obj_label.sum()) > 0, "test setup: need some positive proposals"
+    bhead.forward_ret_dict = {
+        "pred_boxes_cls": torch.from_numpy(box_data[:, :, -1]),
+        "pred_boxes_reg": torch.from_numpy(box_data[:, :, :-1]),
+        "mask": obj_mask,
+        "cls_label": obj_label,
+        "reg_label": t_reg,
+    }
+    with torch.no_grad():
+        ref_total_b, ref_tb_b = bhead.get_loss()
+    my_total_b, my_tb_b = box_head_losses(
+        {"pred_box_center": jnp.asarray(centers), "pred_box_data": jnp.asarray(box_data)},
+        {"reg_label": jnp.asarray(reg_label)},
+        cfg.MODEL["BOX_HEAD"]["LOSS_CONFIG"],
+    )
+    assert float(my_total_b) == pytest.approx(float(ref_total_b), rel=1e-4)
+    assert float(my_tb_b["boxes_cls_loss"]) == pytest.approx(ref_tb_b["boxes_cls_loss"], rel=1e-4)
+    assert float(my_tb_b["boxes_reg_loss"]) == pytest.approx(ref_tb_b["boxes_reg_loss"], rel=1e-4)
