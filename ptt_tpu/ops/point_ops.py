@@ -172,6 +172,9 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
     # so the ascending-k smallest keys are exactly the first nsample in-radius indices.
     key = jnp.where(in_ball, order, order + N)
     k = min(nsample, N)
+    # NOTE: lax.approx_min_k(recall_target=1.0) is exact here (distinct integer keys)
+    # and 2.5x faster in isolation, but measurably SLOWER inside the full model
+    # (worse fusion with the surrounding gather/MLP); keep top_k (docs/PERFORMANCE.md)
     neg_topk, _ = lax.top_k(-key, k)  # k smallest keys
     key_sorted = -neg_topk
     valid = key_sorted < N
