@@ -153,3 +153,21 @@ def test_partial_load_shape_checked(kitti_cfg, tmp_path, synth_loader):
         {"params": params, "batch_stats": batch_stats}, batch
     )
     assert np.isfinite(np.asarray(out["pred_box_data"])).all()
+
+
+def test_trainer_with_bn_scheduler(kitti_cfg, synth_loader, tmp_path):
+    """BN momentum schedule enabled end-to-end: one epoch trains, stats stay finite
+    and move from init."""
+    cfg = kitti_cfg.copy()
+    cfg.OPTIMIZATION = dict(cfg.OPTIMIZATION)
+    cfg.OPTIMIZATION["NUM_EPOCHS"] = 1
+    cfg.OPTIMIZATION["BN_SCHEDULER"] = {"BN_INIT": 0.5, "BN_DECAY": 0.5, "DECAY_STEP": 20}
+    model = build_network(cfg.MODEL)
+    trainer = Trainer(
+        model, cfg.MODEL, cfg.OPTIMIZATION, synth_loader, tmp_path, create_logger(),
+    )
+    init_stats = jax.tree_util.tree_leaves(trainer.state.batch_stats)[0].copy()
+    state = trainer.train()
+    leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+    assert not np.allclose(np.asarray(leaf), np.asarray(init_stats))
