@@ -76,15 +76,19 @@ class CheckpointManager:
 
 
 def save_variables(path, params, batch_stats=None, metadata=None):
-    """Standalone model-only checkpoint (eval artifacts, converters)."""
+    """Standalone model-only checkpoint (eval artifacts, converters). String
+    metadata goes to a JSON sidecar (orbax arrays-only payloads)."""
+    import json
+
     path = Path(path).resolve()
     payload = {"params": params, "batch_stats": batch_stats or {}}
-    if metadata:
-        payload["metadata"] = metadata
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
+    if metadata:
+        with open(path.parent / (path.name + ".meta.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
 
 
 def resolve_checkpoint_path(path, epoch=None):
