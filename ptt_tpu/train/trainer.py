@@ -15,6 +15,7 @@ gradient all-reduce — real data parallelism, unlike the reference's dead DDP s
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import jax
 import numpy as np
@@ -76,8 +77,10 @@ class Trainer:
             str(output_dir) + "/ckpt", max_to_keep=max_ckpt_save_num
         )
         self.ckpt_save_interval = int(ckpt_save_interval)
+        self.output_dir = Path(output_dir)
         self.start_epoch = 0
         self.accumulated_iter = 0
+        self._best_succ = float("-inf")
 
     def _sample_batch(self):
         """One batch for shape-driven init, without consuming the epoch iterator."""
@@ -160,4 +163,23 @@ class Trainer:
                 if self.tb_writer is not None and eval_metrics:
                     for key, val in eval_metrics.items():
                         self.tb_writer.add_scalar(f"eval/{key}", float(val), trained_epoch)
+                # keep the best-Success model outside the rolling window (the
+                # autoregressive eval fluctuates; the peak epoch would otherwise
+                # be pruned by max_ckpt_save_num)
+                succ = (eval_metrics or {}).get("succ")
+                if succ is not None and succ > self._best_succ:
+                    self._best_succ = float(succ)
+                    from .checkpoint import save_variables
+
+                    save_variables(
+                        self.output_dir / "ckpt_best",
+                        self.state.params,
+                        self.state.batch_stats,
+                        metadata={"epoch": trained_epoch, "succ": float(succ),
+                                  "prec": float(eval_metrics.get("prec", -1.0))},
+                    )
+                    self.logger.info(
+                        f"new best Success {succ:.1f} at epoch {trained_epoch}; "
+                        f"saved model-only checkpoint to ckpt_best"
+                    )
         return self.state

@@ -171,3 +171,26 @@ def test_trainer_with_bn_scheduler(kitti_cfg, synth_loader, tmp_path):
     leaf = jax.tree_util.tree_leaves(state.batch_stats)[0]
     assert np.isfinite(np.asarray(leaf)).all()
     assert not np.allclose(np.asarray(leaf), np.asarray(init_stats))
+
+
+def test_trainer_saves_best_checkpoint(kitti_cfg, synth_loader, tmp_path):
+    """The best-Success model survives outside the rolling ckpt window."""
+    cfg = kitti_cfg.copy()
+    cfg.OPTIMIZATION = dict(cfg.OPTIMIZATION)
+    cfg.OPTIMIZATION["NUM_EPOCHS"] = 3
+    model = build_network(cfg.MODEL)
+    scores = iter([10.0, 30.0, 20.0])
+
+    def fake_eval(state, epoch):
+        return {"succ": next(scores), "prec": 50.0}
+
+    trainer = Trainer(
+        model, cfg.MODEL, cfg.OPTIMIZATION, synth_loader, tmp_path, create_logger(),
+        eval_fn=fake_eval,
+    )
+    trainer.train()
+    assert (tmp_path / "ckpt_best").exists()
+    import json
+
+    meta = json.loads((tmp_path / "ckpt_best.meta.json").read_text())
+    assert meta["epoch"] == 2 and meta["succ"] == 30.0  # not overwritten by epoch 3
