@@ -64,9 +64,15 @@ def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=N
         ed.EasyDict = EasyDict
         sys.modules["easydict"] = ed
 
+    # stub ONLY the reference deps that are genuinely absent — replacing an
+    # installed package (e.g. pandas) in sys.modules would break the rest of the
+    # test process
+    import importlib.util
+
     for name in ["pointnet2_ops", "tensorboardX", "mayavi", "shapely",
                  "pyquaternion", "pandas", "skimage", "nuscenes", "tqdm"]:
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules and importlib.util.find_spec(name) is None:
+            sys.modules[name] = types.ModuleType(name)
     sys.modules.setdefault("pointnet2_ops._ext", types.ModuleType("pointnet2_ops._ext"))
     thop = types.ModuleType("thop")
     thop.profile = lambda *a, **k: (0, 0)
