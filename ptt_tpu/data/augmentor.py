@@ -19,12 +19,18 @@ import numpy as np
 from ..core.geometry import rotate_points_along_z
 
 
+def _wrap_theta_deg(theta):
+    """Wrap the degree-valued theta target to (-180, 180] — a flip otherwise
+    produces targets like -184 deg that smooth-L1 would chase the long way round."""
+    return -((-theta + 180.0) % 360.0 - 180.0)
+
+
 def random_flip_along_x(data_dict, rng):
     if rng.random() < 0.5:
         data_dict["search_points"][:, 1] = -data_dict["search_points"][:, 1]
         data_dict["template_points"][:, 1] = -data_dict["template_points"][:, 1]
         data_dict["reg_label"][1] = -data_dict["reg_label"][1]
-        data_dict["reg_label"][-1] = -data_dict["reg_label"][-1]
+        data_dict["reg_label"][-1] = _wrap_theta_deg(-data_dict["reg_label"][-1])
     return data_dict
 
 
@@ -33,7 +39,7 @@ def random_flip_along_y(data_dict, rng):
         data_dict["search_points"][:, 0] = -data_dict["search_points"][:, 0]
         data_dict["template_points"][:, 0] = -data_dict["template_points"][:, 0]
         data_dict["reg_label"][0] = -data_dict["reg_label"][0]
-        data_dict["reg_label"][-1] = -(data_dict["reg_label"][-1] + 180.0)
+        data_dict["reg_label"][-1] = _wrap_theta_deg(-(data_dict["reg_label"][-1] + 180.0))
     return data_dict
 
 
@@ -44,7 +50,7 @@ def global_rotation(data_dict, rot_range, rng):
     data_dict["reg_label"][0:3] = rotate_points_along_z(
         data_dict["reg_label"][None, 0:3], angle
     )[0]
-    data_dict["reg_label"][-1] += np.degrees(angle)
+    data_dict["reg_label"][-1] = _wrap_theta_deg(data_dict["reg_label"][-1] + np.degrees(angle))
     return data_dict
 
 
