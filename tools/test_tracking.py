@@ -75,7 +75,8 @@ def init_variables(model, cfg):
     return jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b, train=False))(batch)
 
 
-def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, epoch_tag="?"):
+def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, epoch_tag="?",
+                     _evaluator_cache=None):
     from ptt_tpu.eval import eval_one_epoch
     from ptt_tpu.eval.device_loop import eval_one_epoch_device
     from ptt_tpu.train import checkpoint
@@ -98,6 +99,7 @@ def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, ep
         succ, prec, fps = eval_one_epoch_device(
             cfg, model, variables, loader, epoch_id=epoch_tag, logger=logger,
             max_points=args.max_points, batch_size=args.batch_size,
+            _evaluator_cache=_evaluator_cache,
         )
     else:
         succ, prec = eval_one_epoch(
@@ -112,7 +114,12 @@ def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir,
     """Watch ``ckpt_dir`` for new checkpoints; evaluate each once; give up after
     ``--max_waiting_mins`` without a new one (reference test_tracking.py:80-119).
     ``eval_fn`` overrides the per-checkpoint evaluation (tests)."""
-    eval_fn = eval_fn or eval_single_ckpt
+    if eval_fn is None:
+        evaluator_cache = {}  # one compiled tracker reused across all checkpoints
+
+        def eval_fn(*a, **k):
+            return eval_single_ckpt(*a, **k, _evaluator_cache=evaluator_cache)
+
     ckpt_dir = Path(ckpt_dir)
     record_file = result_dir / "eval_list.txt"
     evaluated = set()
