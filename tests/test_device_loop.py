@@ -180,3 +180,34 @@ def test_device_tracker_rejects_unbounded_aggregation(synth_cfg_loader):
     bad.TEST["SHAPE_AGGREGATION"] = "all"
     with pytest.raises(NotImplementedError):
         make_device_tracker(ConstOffsetModel(), bad.DATA_CONFIG, bad.TEST)
+
+
+def test_device_tracker_shards_over_mesh(synth_cfg_loader):
+    """Multi-chip inference: the batched tracker partitions over a tracklet-sharded
+    mesh and returns the same trajectories as the single-device run."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ptt_tpu.eval.device_loop import QUANT_SCALE, make_device_tracker
+    from ptt_tpu.parallel import make_data_mesh
+
+    cfg, _ = synth_cfg_loader
+    model = ConstOffsetModel()
+    fn = make_device_tracker(model, cfg.DATA_CONFIG, cfg.TEST, batched=True)
+
+    rng = np.random.default_rng(0)
+    B, T, N = 8, 8, 512
+    pcs = rng.standard_normal((B, T, N, 3)).astype(np.float32) * 5
+    counts = np.full((B, T), N, np.int32)
+    init = rng.standard_normal((B, 4)).astype(np.float32)
+    wlhs = (np.abs(rng.standard_normal((B, 3))) + 1).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+
+    ref_boxes, _ = fn({}, pcs, counts, init, wlhs, keys)
+
+    mesh = make_data_mesh()
+    shard = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, shard) for x in (pcs, counts, init, wlhs, keys)]
+    out_boxes, _ = fn({}, *args)
+    assert len(out_boxes.sharding.device_set) == 8  # stayed sharded end-to-end
+    np.testing.assert_allclose(np.asarray(out_boxes), np.asarray(ref_boxes), atol=1e-5)
