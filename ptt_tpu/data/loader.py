@@ -118,7 +118,12 @@ class DataLoader:
                     raise item
                 yield item
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # interpreter teardown: stdlib module globals may already be None
+                # when an abandoned generator is finalized
+                pass
 
 
 def build_dataloader(
