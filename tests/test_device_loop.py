@@ -211,3 +211,21 @@ def test_device_tracker_shards_over_mesh(synth_cfg_loader):
     out_boxes, _ = fn({}, *args)
     assert len(out_boxes.sharding.device_set) == 8  # stayed sharded end-to-end
     np.testing.assert_allclose(np.asarray(out_boxes), np.asarray(ref_boxes), atol=1e-5)
+
+
+def test_device_tracker_survives_empty_frames(synth_cfg_loader):
+    """Empty or near-empty frames (sensor dropouts) become zero clouds (reference
+    regularize_pc semantics) and must not NaN the trajectory."""
+    cfg, _ = synth_cfg_loader
+    fn = make_device_tracker(ConstOffsetModel(), cfg.DATA_CONFIG, cfg.TEST, batched=True)
+    rng = np.random.default_rng(0)
+    B, T, N = 2, 6, 256
+    pcs = rng.standard_normal((B, T, N, 3)).astype(np.float32)
+    counts = np.full((B, T), N, np.int32)
+    counts[0, 3] = 0  # empty frame mid-tracklet
+    counts[1, 2] = 1  # degenerate (<= 2 points)
+    init = rng.standard_normal((B, 4)).astype(np.float32)
+    wlhs = (np.abs(rng.standard_normal((B, 3))) + 1).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    boxes, scores = fn({}, pcs, counts, init, wlhs, keys)
+    assert np.isfinite(np.asarray(boxes)).all()
