@@ -143,9 +143,22 @@ def main():
     )
 
     if args.pretrained_model:
-        params, batch_stats = checkpoint.load_params_from_file(
-            args.pretrained_model, trainer.state.params, trainer.state.batch_stats, logger
-        )
+        if str(args.pretrained_model).endswith((".pth", ".pt")):
+            # reference torch checkpoint: convert on the fly (non-strict, like the
+            # reference's shape-checked partial load)
+            from ptt_tpu.utils.torch_converter import load_torch_checkpoint
+
+            params, batch_stats, report = load_torch_checkpoint(
+                args.pretrained_model, trainer.state.params, trainer.state.batch_stats,
+                strict=False,
+            )
+            for line in report["missing"] + report["unused"]:
+                logger.info(f"converter: {line}")
+        else:
+            params, batch_stats = checkpoint.load_params_from_file(
+                checkpoint.resolve_checkpoint_path(args.pretrained_model),
+                trainer.state.params, trainer.state.batch_stats, logger,
+            )
         trainer.state = trainer.state.replace(params=params, batch_stats=batch_stats)
         logger.info(f"initialized from pretrained model {args.pretrained_model}")
 
