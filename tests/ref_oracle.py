@@ -21,6 +21,68 @@ def reference_available() -> bool:
 _loaded = {}
 
 
+def _install_functional_ext(ext):
+    """Populate the ``pointnet2_ops._ext`` stand-in with working CPU kernels.
+
+    gather/group are exact torch gathers; FPS and ball-query call this repo's C++
+    oracles (bit-exact to the jnp/Pallas kernels the flax model uses — see
+    tests/test_native.py), so the reference's FULL forward becomes runnable on CPU
+    and comparable against the flax forward with converted weights
+    (reference call surface: ptt/models/backbones_3d/pointnet2/pointnet2_utils.py:27–294).
+
+    Functions are set on the (possibly pre-existing) module object in place so
+    reference modules that already bound ``_ext`` see them too.
+    """
+    if getattr(ext, "_ptt_functional", False):
+        return
+    import numpy as np
+    import torch
+
+    from ptt_tpu import native
+
+    if not native.available():  # pragma: no cover - toolchain always present in CI
+        return
+
+    def furthest_point_sampling(xyz, npoint):
+        idx = native.fps(xyz.detach().numpy(), int(npoint))
+        return torch.from_numpy(np.ascontiguousarray(idx)).int()
+
+    def furthest_point_sampling_with_dist(dist, npoint):
+        idx = native.fps_with_dist(dist.detach().numpy(), int(npoint))
+        return torch.from_numpy(np.ascontiguousarray(idx)).int()
+
+    def gather_points(features, idx):
+        b, c, _ = features.shape
+        ii = idx.long().unsqueeze(1).expand(b, c, idx.shape[1])
+        return torch.gather(features, 2, ii).contiguous()
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        idx = native.ball_query(
+            xyz.detach().numpy(), new_xyz.detach().numpy(), float(radius), int(nsample)
+        )
+        return torch.from_numpy(np.ascontiguousarray(idx)).int()
+
+    def group_points(features, idx):
+        b, c, _ = features.shape
+        npnt, ns = idx.shape[1], idx.shape[2]
+        flat = idx.long().reshape(b, 1, npnt * ns).expand(b, c, npnt * ns)
+        return torch.gather(features, 2, flat).reshape(b, c, npnt, ns).contiguous()
+
+    ext.furthest_point_sampling = furthest_point_sampling
+    ext.furthest_point_sampling_with_dist = furthest_point_sampling_with_dist
+    ext.gather_points = gather_points
+    ext.ball_query = ball_query
+    ext.group_points = group_points
+    ext._ptt_functional = True
+
+
+def reference_forward_runnable() -> bool:
+    """True when the reference's full PTT.forward can execute on CPU here."""
+    from ptt_tpu import native
+
+    return reference_available() and native.available()
+
+
 def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=None,
                          cache_key=None):
     """Returns (torch_model.eval() with randomized weights/BN stats, ref cfg).
@@ -73,7 +135,8 @@ def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=N
                  "pyquaternion", "pandas", "skimage", "nuscenes", "tqdm"]:
         if name not in sys.modules and importlib.util.find_spec(name) is None:
             sys.modules[name] = types.ModuleType(name)
-    sys.modules.setdefault("pointnet2_ops._ext", types.ModuleType("pointnet2_ops._ext"))
+    ext = sys.modules.setdefault("pointnet2_ops._ext", types.ModuleType("pointnet2_ops._ext"))
+    _install_functional_ext(ext)
     thop = types.ModuleType("thop")
     thop.profile = lambda *a, **k: (0, 0)
     thop.clever_format = lambda *a, **k: ""
