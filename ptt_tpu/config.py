@@ -3,8 +3,9 @@
 Mirrors the reference's public surface (``ptt/config.py``): a global ``cfg`` attribute
 dict, ``cfg_from_yaml_file`` with recursive merge and ``_BASE_CONFIG_`` file
 inheritance (reference: ptt/config.py:51-68), and typed dotted-path CLI overrides
-``cfg_from_list`` (reference: ptt/config.py:16-48).  The reference's shipped YAML
-configs (tools/cfgs/*.yaml) parse unchanged.
+``cfg_from_list`` (same override grammar as ptt/config.py:16-48 — scalars, comma
+lists, and ``k:v`` sub-dict merges — restated here with explicit errors instead of
+asserts).  The reference's shipped YAML configs (tools/cfgs/*.yaml) parse unchanged.
 
 Implemented without the ``easydict`` dependency: ``ConfigDict`` is a plain ``dict``
 subclass with attribute access, so it pickles and ``yaml.dump``s naturally.
@@ -67,37 +68,62 @@ def log_config_to_file(config, pre="cfg", logger=None):
         logger.info("%s.%s: %s" % (pre, key, val))
 
 
-def cfg_from_list(cfg_list, config):
-    """Set config keys from a flat [KEY.PATH, value, ...] list (CLI ``--set``)."""
-    assert len(cfg_list) % 2 == 0, "override list must be key/value pairs"
-    for k, v in zip(cfg_list[0::2], cfg_list[1::2]):
-        key_list = k.split(".")
-        d = config
-        for subkey in key_list[:-1]:
-            assert subkey in d, "NotFoundKey: %s" % subkey
-            d = d[subkey]
-        subkey = key_list[-1]
-        assert subkey in d, "NotFoundKey: %s" % subkey
-        try:
-            value = literal_eval(v)
-        except (ValueError, SyntaxError):
-            value = v
+def _walk_to_parent(config, dotted_key):
+    """Follow ``A.B.C`` down to the ConfigDict holding the final segment.
 
-        if type(value) != type(d[subkey]) and isinstance(d[subkey], ConfigDict):
-            # "k1:v1,k2:v2" updates into an existing sub-dict with per-key type coercion
-            for src in value.split(","):
-                cur_key, cur_val = src.split(":")
-                val_type = type(d[subkey][cur_key])
-                d[subkey][cur_key] = val_type(cur_val)
-        elif type(value) != type(d[subkey]) and isinstance(d[subkey], list):
-            val_list = list(value) if isinstance(value, tuple) else value.split(",")
-            elem_type = type(d[subkey][0])
-            d[subkey] = [elem_type(x) for x in val_list]
-        else:
-            assert type(value) == type(d[subkey]), (
-                f"type {type(value)} does not match original type {type(d[subkey])} for key {k}"
-            )
-            d[subkey] = value
+    Every segment must already exist — ``--set`` may only override keys the
+    loaded YAML defines, never invent new ones (typo protection).
+    """
+    node = config
+    *parents, leaf = dotted_key.split(".")
+    for seg in parents:
+        if seg not in node:
+            raise KeyError(f"--set: no such config section {seg!r} in {dotted_key!r}")
+        node = node[seg]
+    if leaf not in node:
+        raise KeyError(f"--set: no such config key {leaf!r} in {dotted_key!r}")
+    return node, leaf
+
+
+def _coerce_override(raw, old):
+    """Turn the CLI string ``raw`` into a value of the same shape/type as ``old``.
+
+    Three forms, decided by what the key currently holds:
+      scalar   -> python-literal parse, type must match the existing value
+      list     -> "3,4,5" or a literal tuple, elements cast to the old element type
+      sub-dict -> "k1:v1,k2:v2" merges per-key with per-key type casts
+    """
+    try:
+        value = literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw  # a bare string
+
+    if type(value) is type(old):
+        return value
+    if isinstance(old, dict):
+        merged = old
+        for pair in value.split(","):
+            k, _, v = pair.partition(":")
+            merged[k] = type(old[k])(v)
+        return merged
+    if isinstance(old, list):
+        items = list(value) if isinstance(value, tuple) else value.split(",")
+        elem_t = type(old[0])
+        return [elem_t(x) for x in items]
+    raise TypeError(
+        f"--set: cannot override a {type(old).__name__} with {raw!r} "
+        f"(parsed as {type(value).__name__})"
+    )
+
+
+def cfg_from_list(cfg_list, config):
+    """Apply CLI ``--set KEY.PATH value ...`` overrides, with type coercion toward
+    the existing value's type (scalars, lists, and flat sub-dict updates)."""
+    if len(cfg_list) % 2 != 0:
+        raise ValueError("--set expects KEY VALUE pairs; got an odd-length list")
+    for dotted, raw in zip(cfg_list[::2], cfg_list[1::2]):
+        node, leaf = _walk_to_parent(config, dotted)
+        node[leaf] = _coerce_override(raw, node[leaf])
     return config
 
 
