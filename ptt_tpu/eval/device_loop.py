@@ -19,7 +19,12 @@ confined to RNG details:
   - get_box_by_offset's out-of-range offset resampling (a train-time augmentation
     guard) is omitted: network offsets are sub-meter by construction.
 SHAPE_AGGREGATION 'all' (unbounded template growth) is host-loop-only; use the
-standard 'first' / 'previous' / 'firstandprevious' modes here.
+standard 'first' / 'previous' / 'firstandprevious' modes here. All three
+TEST.REF_BOX modes are supported (previous_result deployment mode plus the
+previous_gt / current_gt diagnostics, reference eval_tracking_utils.py:154-161):
+the GT modes crop and decode against the ground-truth box array carried alongside
+the scan while the template still follows the predicted trajectory, exactly like
+the reference's ``results_BBs``.
 """
 
 from __future__ import annotations
@@ -109,15 +114,21 @@ def make_device_tracker(
     model_scale = float(data_cfg.get("MODEL_BB_SCALE", 1.25))
     use_z = bool(data_cfg.get("USE_Z_AXIS", False))
     aggregation = str(test_cfg.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
-    ref_mode = str(test_cfg.get("REF_BOX", "previous_result")).upper()
+    ref_mode_raw = str(test_cfg.get("REF_BOX", "previous_result")).upper()
     if "ALL" in aggregation and "FIRSTANDPREVIOUS" not in aggregation:
         raise NotImplementedError(
             "SHAPE_AGGREGATION='all' grows without bound; use the host TrackingEvaluator"
         )
-    if "PREVIOUS_RESULT" not in ref_mode:
-        raise NotImplementedError(
-            "device tracker implements REF_BOX=previous_result (the deployment mode); "
-            "GT-referenced modes are host-evaluator diagnostics"
+    # substring matching ordered like the reference (eval_tracking_utils.py:154-161)
+    if "PREVIOUS_RESULT" in ref_mode_raw:
+        ref_mode = "PREVIOUS_RESULT"
+    elif "PREVIOUS_GT" in ref_mode_raw:
+        ref_mode = "PREVIOUS_GT"
+    elif "CURRENT_GT" in ref_mode_raw:
+        ref_mode = "CURRENT_GT"
+    else:
+        raise ValueError(
+            "TEST.REF_BOX must be previous_result / previous_gt / current_gt"
         )
 
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
@@ -125,7 +136,7 @@ def make_device_tracker(
     _resample_b = jax.vmap(masked_resample, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
 
-    def track_batched(variables, pcs, counts, init_boxes, wlhs, keys):
+    def track_batched(variables, pcs, counts, init_boxes, wlhs, keys, gt_boxes=None):
         """Natively batched over tracklets — the model (and its Pallas kernels) see
         a true (B, ...) batch inside the scan, instead of vmap-lifted singletons
         (pallas_call under vmap becomes B sequential grid programs on one core).
@@ -133,8 +144,13 @@ def make_device_tracker(
         With ``quantized_points`` the (B, T, N, 3) cloud arrives as int16
         fixed-point (QUANT_SCALE grid) — halving the host->device transfer, which
         dominates end-to-end time on PCIe/tunnel-attached hosts — and frames are
-        dequantized per scan step (never materializing the f32 buffer in HBM)."""
+        dequantized per scan step (never materializing the f32 buffer in HBM).
+
+        ``gt_boxes`` (B, T, 4) is required for the GT-referenced REF_BOX modes and
+        ignored (may be None) for previous_result."""
         B, T, N = pcs.shape[0], pcs.shape[1], pcs.shape[2]
+        if ref_mode != "PREVIOUS_RESULT" and gt_boxes is None:
+            raise ValueError(f"REF_BOX={ref_mode} needs the gt_boxes (B, T, 4) array")
 
         def frame(t):
             f = jnp.take(pcs, t, axis=1)
@@ -160,8 +176,18 @@ def make_device_tracker(
             prev_valid = jnp.take(valid, t - 1, axis=1)
             ks = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)  # (B, 2, key)
 
+            # reference box for the search crop AND the offset decode
+            # (reference prepare_search :154-161 + post_process :266-270); the
+            # template below always follows the predicted trajectory (results_BBs)
+            if ref_mode == "PREVIOUS_GT":
+                ref_boxes = jnp.take(gt_boxes, t - 1, axis=1)
+            elif ref_mode == "CURRENT_GT":
+                ref_boxes = jnp.take(gt_boxes, t, axis=1)
+            else:
+                ref_boxes = prev_boxes
+
             search_canon, search_mask = _crop_b(
-                cur_pts, cur_valid, prev_boxes, wlhs, search_offset, search_scale
+                cur_pts, cur_valid, ref_boxes, wlhs, search_offset, search_scale
             )
             search, _ = _resample_b(search_canon, search_mask, search_size, ks[:, 0])
 
@@ -187,7 +213,7 @@ def make_device_tracker(
             data = out["pred_box_data"]  # (B, np, 5)
             best_idx = jnp.argmax(data[:, :, 4], axis=1)  # (B,)
             best = jnp.take_along_axis(data, best_idx[:, None, None], axis=1)[:, 0]  # (B, 5)
-            new_boxes = _decode_b(prev_boxes, best[:, :4], use_z)
+            new_boxes = _decode_b(ref_boxes, best[:, :4], use_z)
             return new_boxes, (new_boxes, best[:, 4])
 
         xs = (jnp.arange(1, T), row_keys.swapaxes(0, 1))
@@ -201,9 +227,10 @@ def make_device_tracker(
     if batched:
         return jax.jit(track_batched)
 
-    def track_one(variables, pcs, counts, init_box, wlh, key):
+    def track_one(variables, pcs, counts, init_box, wlh, key, gt_boxes=None):
         boxes, scores = track_batched(
-            variables, pcs[None], counts[None], init_box[None], wlh[None], key[None]
+            variables, pcs[None], counts[None], init_box[None], wlh[None], key[None],
+            None if gt_boxes is None else gt_boxes[None],
         )
         return boxes[0], scores[0]
 
@@ -241,6 +268,10 @@ class DeviceTrackingEvaluator:
             model, cfg.DATA_CONFIG, cfg.TEST, batched=True,
             quantized_points=self.quantize,
         )
+        self._needs_gt = (
+            "PREVIOUS_RESULT"
+            not in str(cfg.TEST.get("REF_BOX", "previous_result")).upper()
+        )
         self.evaluator = Evaluator(ref_coord=str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")))
         try:
             from .. import native as _native
@@ -276,10 +307,16 @@ class DeviceTrackingEvaluator:
         """Pack + asynchronously dispatch a batch of tracklets to the device.
         Returns an opaque handle for ``finish_batch``; the upload and the whole
         tracklet scan queue behind earlier work, so host scoring of batch k can
-        overlap the device execution of batch k+1."""
+        overlap the device execution of batch k+1.
+
+        The batch dim is padded up to ``batch_size`` (last tracklet repeated) so
+        the final partial batch of an epoch reuses the already-compiled (B, T, N)
+        shape instead of forcing a second whole-scan compile; padded rows are
+        dropped before scoring."""
         T_max = max(len(pcs) for pcs, _, _ in tracklets)
         T_pad = max(2, -(-T_max // self.frame_bucket) * self.frame_bucket)
-        B = len(tracklets)
+        n_real = len(tracklets)
+        B = max(n_real, self.batch_size)
 
         # bucket the point dim to the batch's actual maximum (multiples of 256):
         # zero padding is pure upload waste, and the host->device transfer is the
@@ -295,15 +332,26 @@ class DeviceTrackingEvaluator:
         counts = np.zeros((B, T_pad), np.int32)
         init_boxes = np.zeros((B, 4), np.float32)
         wlhs = np.zeros((B, 3), np.float32)
-        for b, (pcs, boxes, _) in enumerate(tracklets):
+        gt_arr = np.zeros((B, T_pad, 4), np.float32) if self._needs_gt else None
+        for b in range(B):
+            pcs, boxes, _ = tracklets[min(b, n_real - 1)]
             pcs_arr[b], counts[b] = self._pad_tracklet(pcs, T_pad, n_pad)
             init_boxes[b] = self.box_to_vec(boxes[0])
             wlhs[b] = boxes[0].wlh
+            if gt_arr is not None:
+                vecs = np.stack([self.box_to_vec(g) for g in boxes])
+                gt_arr[b, : len(boxes)] = vecs
+                gt_arr[b, len(boxes):] = vecs[-1]  # pad frames reuse the last GT
         keys = jax.random.split(jax.random.PRNGKey(self.seed), B)
 
-        boxes_dev, scores_dev = self.track_fn(
-            self.variables, pcs_arr, counts, init_boxes, wlhs, keys
-        )
+        if gt_arr is None:
+            boxes_dev, scores_dev = self.track_fn(
+                self.variables, pcs_arr, counts, init_boxes, wlhs, keys
+            )
+        else:
+            boxes_dev, scores_dev = self.track_fn(
+                self.variables, pcs_arr, counts, init_boxes, wlhs, keys, gt_arr
+            )
         return (boxes_dev, wlhs, tracklets)
 
     def finish_batch(self, handle):

@@ -4,9 +4,14 @@ Re-design of ``PointnetSAModuleVotes`` (reference pointnet2_modules.py:22-91) on
 channel-last op set: sample centers (fps / ffps / rs / sequence), ball-query + group a
 fixed-size neighborhood, run the shared MLP, max-pool over the neighborhood.
 
-On TPU the grouped tensor (B, npoint, nsample, C+3) feeds a Dense stack = batched MXU
-matmuls; XLA fuses the gather + concat + first matmul, and the Pallas fused kernel
-(ptt_tpu.ops.pallas) removes the HBM round-trip entirely for the hot configs.
+Two compute paths:
+  - train (and CPU): jnp ball-query + group -> SharedMLP -> max. BatchNorm needs
+    global batch statistics, so training must see the whole grouped tensor.
+  - eval on TPU: ONE fused Pallas kernel (ops.pallas_sa) — ball-query, grouping,
+    the BN-folded MLP, and the neighborhood max never leave VMEM. XLA cannot fuse
+    a gather into a matmul operand, so the jnp path materializes the grouped
+    (B, npoint, nsample, C+3) tensor in HBM at 5-22 ms per stage on a v5e
+    (measured; docs/PERFORMANCE.md), which the kernel removes.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .. import ops
+from ..ops import pallas_sa
 from .layers import SharedMLP
 
 
@@ -65,6 +71,44 @@ class PointnetSAModule(nn.Module):
             inds = sample_indices(self.sample_method, xyz, features, npoint)
         new_xyz = ops.gather_points(xyz, inds)
 
+        mlp_spec = list(self.mlp_channels)
+        if self.use_xyz:
+            mlp_spec[0] += 3
+        mlp = SharedMLP(mlp_spec, bn=self.bn)
+
+        if not train and pallas_sa.fused_enabled():
+            # bind the SharedMLP variables on a dummy so the param tree (and any
+            # loaded checkpoint) is identical to the jnp path, then fold eval-mode
+            # BN into the Dense kernels and run the fused kernel
+            mlp(jnp.zeros((1, 1, 1, mlp_spec[0]), jnp.float32), train=False)
+            v = mlp.variables
+            weights, biases = [], []
+            for i in range(len(mlp_spec) - 1):
+                w = v["params"][f"Dense_{i}"]["kernel"]
+                if self.bn:
+                    bn_p = v["params"][f"BatchNorm_{i}"]
+                    bn_s = v["batch_stats"][f"BatchNorm_{i}"]
+                    w, b = pallas_sa.fold_bn(
+                        w, bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"]
+                    )
+                else:
+                    b = v["params"][f"Dense_{i}"]["bias"]
+                weights.append(w)
+                biases.append(b)
+            new_features = pallas_sa.fused_sa_inference(
+                xyz,
+                new_xyz,
+                features,
+                float(self.radius),
+                int(self.nsample),
+                tuple(weights),
+                tuple(biases),
+                normalize_xyz=self.normalize_xyz,
+                use_xyz=self.use_xyz,
+                interpret=pallas_sa.FORCE_INTERPRET,
+            )
+            return new_xyz, new_features, inds
+
         grouped, _, _ = ops.query_and_group(
             self.radius,
             self.nsample,
@@ -75,9 +119,6 @@ class PointnetSAModule(nn.Module):
             normalize_xyz=self.normalize_xyz,
         )  # (B, npoint, nsample, C[+3])
 
-        mlp_spec = list(self.mlp_channels)
-        if self.use_xyz:
-            mlp_spec[0] += 3
-        new_features = SharedMLP(mlp_spec, bn=self.bn)(grouped, train=train)
+        new_features = mlp(grouped, train=train)
         new_features = jnp.max(new_features, axis=2)  # max over the neighborhood
         return new_xyz, new_features, inds

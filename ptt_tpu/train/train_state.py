@@ -54,30 +54,74 @@ def create_train_state(model, tx, sample_batch, rng=None):
     )
 
 
-def make_train_step(model_cfg):
-    """Returns train_step(state, batch) -> (state, metrics). Jittable; works
-    single-device or under a mesh via sharded inputs."""
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
 
-    def train_step(state: TrainState, batch):
+
+def make_train_step(model_cfg, with_bn_momentum: bool = False,
+                    mixed_precision: bool = False):
+    """Returns train_step(state, batch) -> (state, metrics). Jittable; works
+    single-device or under a mesh via sharded inputs.
+
+    With ``with_bn_momentum`` the step takes a third scalar argument — the
+    scheduled flax BN momentum — and applies the EMA correction (bn_momentum.py)
+    INSIDE the compiled program, where the pre-update stats are already live in
+    HBM. The trainer previously copied the whole batch_stats tree on host every
+    iteration to redo the blend afterwards; in-step it costs one fused
+    elementwise pass and no host sync. The momentum is a traced scalar, so the
+    per-epoch schedule never recompiles.
+
+    ``mixed_precision`` is the tpu analog of the reference's fp16
+    FastAIMixedOptim (fastai_optim.py:235-262): master parameters and optimizer
+    state stay float32; the forward/backward runs in bfloat16 (params and batch
+    cast inside the differentiated function, so the MXU sees bf16 matmuls and the
+    gradient of the cast accumulates back into float32). bf16 shares float32's
+    exponent range, so the reference's loss_scale machinery is unnecessary.
+    Losses and BN running stats are computed in float32."""
+
+    def _step(state: TrainState, batch, bn_flax_momentum=None):
         def loss_fn(params):
+            if mixed_precision:
+                apply_params = _cast_floats(params, jnp.bfloat16)
+                apply_batch = _cast_floats(batch, jnp.bfloat16)
+            else:
+                apply_params, apply_batch = params, batch
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
+                {"params": apply_params, "batch_stats": state.batch_stats},
+                apply_batch,
                 train=True,
                 mutable=["batch_stats"],
             )
+            if mixed_precision:
+                out = _cast_floats(out, jnp.float32)
+                mutated = _cast_floats(mutated, jnp.float32)
             loss, tb = compute_losses(model_cfg, out, batch)
             return loss, (tb, mutated["batch_stats"])
 
         (loss, (tb, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if bn_flax_momentum is not None:
+            from .bn_momentum import MODEL_BN_MOMENTUM as m0
+
+            mt = jnp.asarray(bn_flax_momentum, jnp.float32)
+
+            def fix(old, new):
+                obs = (new - m0 * old) / (1.0 - m0)
+                return mt * old + (1.0 - mt) * obs
+
+            new_stats = jax.tree_util.tree_map(fix, state.batch_stats, new_stats)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics = dict(tb)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    return train_step
+    if with_bn_momentum:
+        return _step
+    return lambda state, batch: _step(state, batch)
 
 
 def make_data_mesh(devices=None, axis: str = "data"):
@@ -105,16 +149,21 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     )
 
 
-def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data"):
+def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data",
+                            with_bn_momentum: bool = False,
+                            mixed_precision: bool = False):
     """Jit the train step with explicit shardings: state replicated, batch sharded.
     XLA turns the batch-axis reductions (loss mean, BN stats) and the gradient
     averaging into ICI collectives."""
-    train_step = make_train_step(model_cfg)
+    train_step = make_train_step(
+        model_cfg, with_bn_momentum=with_bn_momentum, mixed_precision=mixed_precision
+    )
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(axis))
+    in_shardings = (replicated, batch_sharded) + ((replicated,) if with_bn_momentum else ())
     return jax.jit(
         train_step,
-        in_shardings=(replicated, batch_sharded),
+        in_shardings=in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )

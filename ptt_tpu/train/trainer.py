@@ -47,6 +47,7 @@ class Trainer:
         tb_writer=None,
         eval_fn=None,
         mesh=None,
+        tb_flush_interval: int = 50,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -57,6 +58,7 @@ class Trainer:
         )
         self.tb_writer = tb_writer
         self.eval_fn = eval_fn
+        self.tb_flush_interval = int(tb_flush_interval)
 
         self.mesh = mesh if mesh is not None else make_data_mesh()
         iters_per_epoch = len(train_loader)
@@ -72,7 +74,12 @@ class Trainer:
         self.state = create_train_state(
             model, tx, sample_batch, rng=jax.random.PRNGKey(seed)
         )
-        self.train_step = make_sharded_train_step(model_cfg, self.mesh)
+        self.train_step = make_sharded_train_step(
+            model_cfg,
+            self.mesh,
+            with_bn_momentum=bool(self.bn_sched_cfg),
+            mixed_precision=bool(optim_cfg.get("MIXED_PRECISION", False)),
+        )
         self.ckpt = CheckpointManager(
             str(output_dir) + "/ckpt", max_to_keep=max_ckpt_save_num
         )
@@ -102,17 +109,39 @@ class Trainer:
         )
         return self
 
+    def _flush_tb(self, buffer):
+        """Write buffered per-step scalars. Values are device arrays dispatched
+        many steps ago, so the float() reads here don't stall the pipeline the way
+        a per-iteration read would (the metric for step k is read only after step
+        k + tb_flush_interval was dispatched)."""
+        for step_i, metrics in buffer:
+            # lr used BY update step_i is schedule(step_i - 1): optax passes the
+            # pre-increment count (reference logs the same cur_lr, train_utils.py:30)
+            cur_lr = float(self.lr_schedule(step_i - 1))
+            self.tb_writer.add_scalar("meta_data/learning_rate", cur_lr, step_i)
+            for key, val in metrics.items():
+                self.tb_writer.add_scalar(f"train/{key}", float(val), step_i)
+        buffer.clear()
+
     def train(self):
-        """Epoch loop (reference train_model, train_utils.py:77-150)."""
+        """Epoch loop (reference train_model, train_utils.py:77-150).
+
+        Hot-loop discipline: every iteration only *dispatches* work — the jitted
+        step, then the next batch's async host->device upload (which overlaps the
+        running step) — and buffers tensorboard scalars as device arrays. Nothing
+        in the loop blocks on the device; the one sync point is the per-epoch
+        finite-loss check."""
+        import jax.numpy as jnp
+
         loss_avg = MovingAverage(50)
         n_iters = len(self.train_loader)
         for epoch in range(self.start_epoch, self.total_epochs):
             self.train_loader.set_epoch(epoch)
             t0 = time.perf_counter()
             metrics = None
+            step_args = ()
             if self.bn_sched_cfg:
-                from .bn_momentum import bn_momentum_for_epoch, rescale_batch_stats
-                import jax.numpy as jnp
+                from .bn_momentum import bn_momentum_for_epoch
 
                 torch_m = bn_momentum_for_epoch(
                     epoch,
@@ -121,27 +150,24 @@ class Trainer:
                     decay_step=int(self.bn_sched_cfg.get("DECAY_STEP", 20)),
                     bn_clip=float(self.bn_sched_cfg.get("BN_CLIP", 0.01)),
                 )
-            for batch in self.train_loader:
-                batch = shard_batch(batch, self.mesh)
-                if self.bn_sched_cfg:
-                    old_stats = jax.tree_util.tree_map(jnp.copy, self.state.batch_stats)
-                self.state, metrics = self.train_step(self.state, batch)
-                if self.bn_sched_cfg:
-                    self.state = self.state.replace(
-                        batch_stats=rescale_batch_stats(
-                            old_stats, self.state.batch_stats, 1.0 - torch_m
-                        )
-                    )
+                step_args = (jnp.float32(1.0 - torch_m),)
+            tb_buffer = []
+            batch_iter = iter(self.train_loader)
+            batch = next(batch_iter, None)
+            batch = shard_batch(batch, self.mesh) if batch is not None else None
+            while batch is not None:
+                self.state, metrics = self.train_step(self.state, batch, *step_args)
+                # upload batch k+1 while step k runs (the eval loop already
+                # pipelines this way; device_put is async w.r.t. the device queue)
+                nxt = next(batch_iter, None)
+                batch = shard_batch(nxt, self.mesh) if nxt is not None else None
                 self.accumulated_iter += 1
                 if self.tb_writer is not None:
-                    cur_lr = float(self.lr_schedule(self.accumulated_iter))
-                    self.tb_writer.add_scalar(
-                        "meta_data/learning_rate", cur_lr, self.accumulated_iter
-                    )
-                    for key, val in metrics.items():
-                        self.tb_writer.add_scalar(
-                            f"train/{key}", float(val), self.accumulated_iter
-                        )
+                    tb_buffer.append((self.accumulated_iter, metrics))
+                    if len(tb_buffer) >= self.tb_flush_interval:
+                        self._flush_tb(tb_buffer)
+            if self.tb_writer is not None and tb_buffer:
+                self._flush_tb(tb_buffer)
             # block once per epoch for accurate wall-clock + finite-loss check
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
             loss_avg.append(metrics["loss"])

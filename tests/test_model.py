@@ -174,3 +174,32 @@ def test_search_inds_compose_to_raw_indices(model_and_vars):
     raw = np.asarray(batch["search_points"])
     for b in range(raw.shape[0]):
         np.testing.assert_allclose(seeds[b], raw[b][inds[b]], atol=1e-6)
+
+
+def test_per_module_cost_analysis(kitti_cfg, model_and_vars):
+    """Per-module FLOPs breakdown (reference calc_flops table): every pipeline
+    stage reports positive post-fusion FLOPs, the stage outputs chain correctly,
+    and the param split covers the whole model."""
+    from ptt_tpu.utils.profiling import (
+        count_parameters,
+        format_cost_table,
+        per_module_cost_analysis,
+    )
+
+    model, variables = model_and_vars
+    batch = make_batch()
+    eval_batch = {k: batch[k] for k in ("search_points", "template_points")}
+    rows = per_module_cost_analysis(kitti_cfg.MODEL, variables, eval_batch)
+
+    names = [n for n, _ in rows]
+    assert names == [
+        "backbone_3d", "similarity_module", "centroid_voting_head", "box_voting_head",
+    ]
+    for _, costs in rows:
+        assert costs["flops"] > 0
+        assert costs["params"] > 0
+    total = count_parameters(variables["params"])["total"]
+    assert sum(c["params"] for _, c in rows) == total
+
+    table = format_cost_table(rows)
+    assert "backbone_3d" in table and "TOTAL" in table

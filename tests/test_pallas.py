@@ -52,3 +52,89 @@ def test_fused_pair_fps_equal_sizes(rng):
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(furthest_point_sample(a, 32)))
     np.testing.assert_array_equal(np.asarray(ib), np.asarray(furthest_point_sample(b, 32)))
 
+
+
+# ------------------------------------------------------- fused SA inference kernel
+
+from ptt_tpu.ops import pallas_sa, point_ops
+
+
+def _sa_oracle(xyz, new_xyz, feats, radius, ns, Ws, bs, normalize=True, use_xyz=True):
+    g, _, _ = point_ops.query_and_group(
+        radius, ns, xyz, new_xyz, feats, use_xyz=use_xyz, normalize_xyz=normalize
+    )
+    h = g
+    for W, b in zip(Ws, bs):
+        h = jnp.maximum(jnp.einsum("bmsc,cd->bmsd", h, W) + b, 0.0)
+    return jnp.max(h, axis=2)
+
+
+@pytest.mark.parametrize(
+    "B,N,M,ns,C", [(2, 256, 128, 16, 8), (1, 512, 64, 32, 0), (2, 300, 96, 8, 5)]
+)
+def test_fused_sa_matches_jnp_composite(rng, B, N, M, ns, C):
+    """ball-query + group + folded-MLP + max in one kernel == the jnp composite
+    (incl. duplicate-pad semantics, relative-xyz normalization, ragged N/M)."""
+    radius = 0.4
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    new_xyz = xyz[:, :M, :]
+    feats = (
+        jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32) if C else None
+    )
+    D = C + 3
+    layers = [(D, 16), (16, 32)]
+    Ws = [jnp.asarray(rng.standard_normal(s) * 0.2, jnp.float32) for s in layers]
+    bs = [jnp.asarray(rng.standard_normal((s[1],)) * 0.2, jnp.float32) for s in layers]
+
+    ref = _sa_oracle(xyz, new_xyz, feats, radius, ns, Ws, bs)
+    out = pallas_sa.fused_sa_inference(
+        xyz, new_xyz, feats, radius, ns, tuple(Ws), tuple(bs), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_fused_sa_empty_ball_pads_point_zero(rng):
+    """Centers with no in-radius neighbor must group point 0 (CUDA/ops.ball_query
+    zero-init pad semantics)."""
+    B, N, M, ns = 1, 128, 64, 8
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)) * 10, jnp.float32)
+    far = jnp.asarray(rng.standard_normal((B, M, 3)) + 100.0, jnp.float32)
+    Ws = [jnp.asarray(rng.standard_normal((3, 8)) * 0.2, jnp.float32)]
+    bs = [jnp.asarray(rng.standard_normal((8,)) * 0.2, jnp.float32)]
+    ref = _sa_oracle(xyz, far, None, 0.3, ns, Ws, bs)
+    out = pallas_sa.fused_sa_inference(
+        xyz, far, None, 0.3, ns, tuple(Ws), tuple(bs), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_fused_sa_module_path_matches_jnp_path(rng, monkeypatch):
+    """The full PointnetSAModule fused branch (BN folding + kernel) equals the jnp
+    SharedMLP branch with the same variables."""
+    import jax
+
+    from ptt_tpu.nn.sa_module import PointnetSAModule
+
+    B, N, M, ns, C = 2, 256, 64, 16, 8
+    xyz = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    mod = PointnetSAModule(
+        mlp_channels=[C, 16, 32], radius=0.4, nsample=ns, sample_method="fps"
+    )
+    variables = mod.init(jax.random.PRNGKey(0), xyz, feats, npoint=M, train=False)
+    # perturb params and BN stats so folding is non-trivial
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jnp.asarray(rng.standard_normal(x.shape), x.dtype),
+        variables,
+    )
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: jnp.abs(x) + 0.3, variables["batch_stats"]
+    )
+    _, ref_feats, ref_inds = mod.apply(variables, xyz, feats, npoint=M, train=False)
+
+    monkeypatch.setattr(pallas_sa, "FORCE_INTERPRET", True)
+    _, out_feats, out_inds = mod.apply(variables, xyz, feats, npoint=M, train=False)
+    np.testing.assert_array_equal(np.asarray(ref_inds), np.asarray(out_inds))
+    np.testing.assert_allclose(
+        np.asarray(ref_feats), np.asarray(out_feats), atol=2e-4
+    )

@@ -67,6 +67,64 @@ def test_all_optimizers_build_and_step(name):
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+def test_in_step_bn_momentum_matches_post_hoc_rescale(kitti_cfg, synth_loader):
+    """The BN-momentum correction fused into the compiled step (train_state.py)
+    must equal the original two-pass host approach (copy stats -> step ->
+    rescale_batch_stats), which is itself oracle-tested in test_processor_bn."""
+    from ptt_tpu.train.bn_momentum import rescale_batch_stats
+    from ptt_tpu.train.train_state import make_train_step
+
+    model = build_network(kitti_cfg.MODEL)
+    tx, _ = build_optimizer_and_schedule(kitti_cfg.OPTIMIZATION, 10, 2)
+    batch = next(iter(synth_loader))
+    state = create_train_state(model, tx, batch, rng=jax.random.PRNGKey(0))
+
+    target = 1.0 - 0.25  # flax momentum for a scheduled torch momentum of 0.25
+    plain_step = jax.jit(make_train_step(kitti_cfg.MODEL))
+    bn_step = jax.jit(make_train_step(kitti_cfg.MODEL, with_bn_momentum=True))
+
+    fused_state, _ = bn_step(state, batch, jnp.float32(target))
+    raw_state, _ = plain_step(state, batch)
+    expected = rescale_batch_stats(state.batch_stats, raw_state.batch_stats, target)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        fused_state.batch_stats,
+        expected,
+    )
+    # params are untouched by the correction
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        fused_state.params,
+        raw_state.params,
+    )
+
+
+def test_mixed_precision_train_step(kitti_cfg, synth_loader):
+    """OPTIMIZATION.MIXED_PRECISION (the bf16 analog of the reference's fp16
+    FastAIMixedOptim): master params stay f32, the compiled forward/backward runs
+    bf16, and the resulting update tracks the full-precision step closely."""
+    from ptt_tpu.train.train_state import make_train_step
+
+    model = build_network(kitti_cfg.MODEL)
+    tx, _ = build_optimizer_and_schedule(kitti_cfg.OPTIMIZATION, 10, 2)
+    batch = next(iter(synth_loader))
+    state = create_train_state(model, tx, batch, rng=jax.random.PRNGKey(0))
+
+    f32_step = jax.jit(make_train_step(kitti_cfg.MODEL))
+    bf16_step = jax.jit(make_train_step(kitti_cfg.MODEL, mixed_precision=True))
+
+    s_bf, m_bf = bf16_step(state, batch)
+    s_f32, m_f32 = f32_step(state, batch)
+
+    # master weights and optimizer state remain float32
+    for leaf in jax.tree_util.tree_leaves(s_bf.params):
+        assert leaf.dtype == jnp.float32
+    assert np.isfinite(float(m_bf["loss"]))
+    # bf16 has ~3 decimal digits; losses should agree to bf16 resolution
+    assert float(m_bf["loss"]) == pytest.approx(float(m_f32["loss"]), rel=0.05)
+
+
 def test_sharded_train_step_on_mesh(kitti_cfg, synth_loader):
     """The jitted train step must shard the batch over all 8 virtual devices and
     produce replicated state + finite metrics."""

@@ -34,7 +34,12 @@ def main():
     from ptt_tpu.nn import build_network, compute_losses
     from ptt_tpu.train import build_optimizer_and_schedule, create_train_state
     from ptt_tpu.train.train_state import make_train_step
-    from ptt_tpu.utils.profiling import cost_analysis, count_parameters
+    from ptt_tpu.utils.profiling import (
+        cost_analysis,
+        count_parameters,
+        format_cost_table,
+        per_module_cost_analysis,
+    )
 
     print(f"devices: {jax.devices()}")
 
@@ -62,6 +67,10 @@ def main():
     costs = cost_analysis(fwd, variables, eval_batch)
     print(f"forward (batch {args.batch_size}): {costs['flops'] / 1e9:.2f} GFLOP, "
           f"{costs['bytes_accessed'] / 1e6:.1f} MB accessed (XLA post-fusion)")
+
+    # per-module breakdown (reference calc_flops table, tracker3d_template.py:158-267)
+    rows = per_module_cost_analysis(cfg.MODEL, variables, eval_batch)
+    print(format_cost_table(rows))
 
     train_step = jax.jit(make_train_step(cfg.MODEL))
     t0 = time.perf_counter()

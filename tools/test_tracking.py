@@ -58,10 +58,10 @@ def parse_config():
 
 
 def _device_loop_supported(cfg):
-    ref_ok = "PREVIOUS_RESULT" in str(cfg.TEST.get("REF_BOX", "previous_result")).upper()
+    # all three REF_BOX modes run on device; only the unbounded 'all' template
+    # aggregation needs the host evaluator
     agg = str(cfg.TEST.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
-    agg_ok = not ("ALL" in agg and "FIRSTANDPREVIOUS" not in agg)
-    return ref_ok and agg_ok
+    return not ("ALL" in agg and "FIRSTANDPREVIOUS" not in agg)
 
 
 def init_variables(model, cfg):
@@ -93,8 +93,8 @@ def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, ep
 
     use_device = not args.host_loop and _device_loop_supported(cfg)
     if not use_device and not args.host_loop:
-        logger.info("TEST config needs GT-referenced boxes or 'all' aggregation; "
-                    "falling back to the host evaluator")
+        logger.info("SHAPE_AGGREGATION='all' grows without bound; "
+                    "falling back to the host evaluator (~1000x slower per frame)")
     if use_device:
         succ, prec, fps = eval_one_epoch_device(
             cfg, model, variables, loader, epoch_id=epoch_tag, logger=logger,
