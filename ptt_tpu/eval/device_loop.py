@@ -313,6 +313,14 @@ class DeviceTrackingEvaluator:
         the final partial batch of an epoch reuses the already-compiled (B, T, N)
         shape instead of forcing a second whole-scan compile; padded rows are
         dropped before scoring."""
+        if len(tracklets) > self.batch_size:
+            # a silent B > batch_size would trigger a second whole-scan compile
+            # (30-600 s); fail loudly — track_batch chunks for you
+            raise ValueError(
+                f"dispatch_batch got {len(tracklets)} tracklets > batch_size="
+                f"{self.batch_size}; use track_batch (chunks internally) or a "
+                "larger batch_size"
+            )
         T_max = max(len(pcs) for pcs, _, _ in tracklets)
         T_pad = max(2, -(-T_max // self.frame_bucket) * self.frame_bucket)
         n_real = len(tracklets)
@@ -361,8 +369,13 @@ class DeviceTrackingEvaluator:
 
     def track_batch(self, tracklets):
         """tracklets: list of (pcs, gt_boxes, annos). Returns per-tracklet predicted
-        geo.Box lists; updates metric accumulators."""
-        return self.finish_batch(self.dispatch_batch(tracklets))
+        geo.Box lists; updates metric accumulators. Chunks into ``batch_size``
+        groups so the compiled (B, T, N) shape is reused."""
+        results = []
+        for i in range(0, len(tracklets), self.batch_size):
+            chunk = tracklets[i : i + self.batch_size]
+            results.extend(self.finish_batch(self.dispatch_batch(chunk)))
+        return results
 
     def _score(self, boxes_out, wlhs, tracklets):
 

@@ -21,11 +21,13 @@ Design (two measured iterations — docs/PERFORMANCE.md):
     vs D = 3 at stage 1, where a raw gather wastes 125/128 of the MXU).
   * The neighborhood "gather" is a one-hot matmul on the MXU, NC-chunked in
     VMEM. The MXU's default f32 path is a single bf16 pass, which would round
-    the gathered values — instead split Z = hi + lo (hi = bf16(Z), lo = Z - hi;
-    both exactly representable in a bf16 multiplicand) and take two DEFAULT
-    passes: each one-hot row has at most one 1 per chunk, so the f32
-    accumulation is EXACT and gather(hi) + gather(lo) == Z bit-for-bit — at 1/3
-    the cost of a 6-pass HIGHEST matmul.
+    the gathered values to 8 significand bits — instead split Z = hi + lo
+    (hi = bf16(Z), lo = Z - hi) and take two DEFAULT passes. hi is exactly a
+    bf16 value; lo still carries up to 16 significand bits, so the second pass
+    rounds it once more: the gather is ~2^-17-relative accurate (NOT f32-exact),
+    which is far below the single-bf16-pass (~2^-8) noise the DEFAULT-precision
+    MLP tail adds anyway — at 1/3 the cost of a 6-pass HIGHEST matmul. (A third
+    lo2 pass would make it exact; measured unnecessary at the tail's precision.)
   * Ball-query semantics are the CUDA kernel's (SURVEY.md 2.2): the first
     `nsample` in-radius points in ascending index order (slot = in-ball ordinal
     via a lane-axis prefix sum), rows past the count duplicate the first hit,
