@@ -18,8 +18,11 @@ confined to RNG details:
     distribution, different stream;
   - get_box_by_offset's out-of-range offset resampling (a train-time augmentation
     guard) is omitted: network offsets are sub-meter by construction.
-SHAPE_AGGREGATION 'all' (unbounded template growth) is host-loop-only; use the
-standard 'first' / 'previous' / 'firstandprevious' modes here. All three
+All four SHAPE_AGGREGATION modes run here, including 'all' (reference
+eval_tracking_utils.py:187-230): the scan carries the predicted-box history and
+re-crops every earlier frame from the resident (B, T, N) buffer each step —
+exact host-'all' semantics (up to the RNG deviation above) without the host
+path's ~1000x slowdown. All three
 TEST.REF_BOX modes are supported (previous_result deployment mode plus the
 previous_gt / current_gt diagnostics, reference eval_tracking_utils.py:154-161):
 the GT modes crop and decode against the ground-truth box array carried alongside
@@ -75,6 +78,19 @@ def masked_resample(pts, mask, n_out: int, key):
     return jnp.where(count > 2, out, jnp.zeros_like(out)), count
 
 
+def masked_resample_long(pts, mask, n_out: int, key):
+    """Same semantics as masked_resample, but selects the k-th valid row via a
+    prefix-sum + searchsorted instead of a stable argsort — O(L log n_out) picks
+    rather than an O(L log L) sort, which matters for the 'all'-aggregation path
+    where L = T*N (~100k rows) per scan step."""
+    csum = jnp.cumsum(mask.astype(jnp.int32))  # (L,), monotone
+    count = csum[-1]
+    pick = jax.random.randint(key, (n_out,), 0, jnp.maximum(count, 1))
+    idx = jnp.searchsorted(csum, pick + 1, side="left")
+    out = jnp.take(pts, idx, axis=0, mode="clip")
+    return jnp.where(count > 2, out, jnp.zeros_like(out)), count
+
+
 def decode_box_offset(box_vec, offset4, use_z: bool):
     """Apply the network's canonical-frame offset [dx, dy, dz, dtheta_deg] to the
     reference box (device analog of get_box_by_offset, geometry.py:364)."""
@@ -115,10 +131,14 @@ def make_device_tracker(
     use_z = bool(data_cfg.get("USE_Z_AXIS", False))
     aggregation = str(test_cfg.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
     ref_mode_raw = str(test_cfg.get("REF_BOX", "previous_result")).upper()
-    if "ALL" in aggregation and "FIRSTANDPREVIOUS" not in aggregation:
-        raise NotImplementedError(
-            "SHAPE_AGGREGATION='all' grows without bound; use the host TrackingEvaluator"
-        )
+    # 'all' is the host evaluator's else-branch (evaluator.py:116-117, reference
+    # eval_tracking_utils.py:187-230): template = crops of ALL previous frames
+    # around their predicted boxes. The host concat is unbounded, but the full
+    # (B, T, N) frame buffer already lives on device — so the scan reproduces it
+    # EXACTLY (up to the documented RNG-stream deviation) by carrying the
+    # predicted-box history and re-cropping every frame < t each step. O(T^2*N)
+    # elementwise work total, trivial next to the model matmuls.
+    use_all = not ("FIRST" in aggregation or "PREVIOUS" in aggregation)
     # substring matching ordered like the reference (eval_tracking_utils.py:154-161)
     if "PREVIOUS_RESULT" in ref_mode_raw:
         ref_mode = "PREVIOUS_RESULT"
@@ -134,7 +154,13 @@ def make_device_tracker(
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
     _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
     _resample_b = jax.vmap(masked_resample, in_axes=(0, 0, None, 0))
+    _resample_long_b = jax.vmap(masked_resample_long, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
+    # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
+    _crop_bt = jax.vmap(
+        jax.vmap(crop_canonical, in_axes=(0, 0, 0, None, None, None)),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
 
     def track_batched(variables, pcs, counts, init_boxes, wlhs, keys, gt_boxes=None):
         """Natively batched over tracklets — the model (and its Pallas kernels) see
@@ -166,9 +192,13 @@ def make_device_tracker(
         # per-row, per-step keys: (B, T-1, ...) -> scan consumes a (B,) slice per step
         row_keys = jax.vmap(lambda k: jax.random.split(k, T - 1))(keys)
 
-        def step(prev_boxes, xs):
+        def step(carry, xs):
             # index into the closed-over (B, T, N, 3) buffer instead of threading
             # slices through scan xs (which would materialize extra copies in HBM)
+            if use_all:
+                prev_boxes, boxes_hist = carry  # hist (B, T, 4): predicted so far
+            else:
+                prev_boxes = carry
             t, k = xs
             cur_pts = frame(t)
             cur_valid = jnp.take(valid, t, axis=1)
@@ -191,19 +221,38 @@ def make_device_tracker(
             )
             search, _ = _resample_b(search_canon, search_mask, search_size, ks[:, 0])
 
-            if "FIRSTANDPREVIOUS" in aggregation:
+            if use_all:
+                # crops of every frame f < t around its predicted box (host
+                # evaluator 'all': get_model(pcs[:t], results)); frames >= t
+                # masked out, then one uniform resample over the whole union
+                allf = (
+                    pcs.astype(jnp.float32) * QUANT_SCALE if quantized_points else pcs
+                )
+                canon_all, mask_all = _crop_bt(
+                    allf, valid, boxes_hist, wlhs, model_offset, model_scale
+                )
+                mask_all = mask_all & (jnp.arange(T)[None, :, None] < t)
+                template, _ = _resample_long_b(
+                    canon_all.reshape(B, T * N, 3),
+                    mask_all.reshape(B, T * N),
+                    template_size,
+                    ks[:, 1],
+                )
+            elif "FIRSTANDPREVIOUS" in aggregation:
                 prev_canon, prev_mask = _crop_b(
                     prev_pts, prev_valid, prev_boxes, wlhs, model_offset, model_scale
                 )
                 tmpl_pts = jnp.concatenate([first_canon, prev_canon], axis=1)
                 tmpl_mask = jnp.concatenate([first_mask, prev_mask], axis=1)
+                template, _ = _resample_b(tmpl_pts, tmpl_mask, template_size, ks[:, 1])
             elif "FIRST" in aggregation:
                 tmpl_pts, tmpl_mask = first_canon, first_mask
+                template, _ = _resample_b(tmpl_pts, tmpl_mask, template_size, ks[:, 1])
             else:  # PREVIOUS
                 tmpl_pts, tmpl_mask = _crop_b(
                     prev_pts, prev_valid, prev_boxes, wlhs, model_offset, model_scale
                 )
-            template, _ = _resample_b(tmpl_pts, tmpl_mask, template_size, ks[:, 1])
+                template, _ = _resample_b(tmpl_pts, tmpl_mask, template_size, ks[:, 1])
 
             out = model.apply(
                 variables,
@@ -214,10 +263,21 @@ def make_device_tracker(
             best_idx = jnp.argmax(data[:, :, 4], axis=1)  # (B,)
             best = jnp.take_along_axis(data, best_idx[:, None, None], axis=1)[:, 0]  # (B, 5)
             new_boxes = _decode_b(ref_boxes, best[:, :4], use_z)
+            if use_all:
+                boxes_hist = jax.lax.dynamic_update_slice_in_dim(
+                    boxes_hist, new_boxes[:, None, :], t, axis=1
+                )
+                return (new_boxes, boxes_hist), (new_boxes, best[:, 4])
             return new_boxes, (new_boxes, best[:, 4])
 
         xs = (jnp.arange(1, T), row_keys.swapaxes(0, 1))
-        _, (boxes, scores) = jax.lax.scan(step, init_boxes, xs)
+        if use_all:
+            # history row 0 = the GT init box (host results[0]); later rows are
+            # filled in as the scan predicts them (masked by f < t until then)
+            hist0 = jnp.tile(init_boxes[:, None, :], (1, T, 1))
+            (_, _), (boxes, scores) = jax.lax.scan(step, (init_boxes, hist0), xs)
+        else:
+            _, (boxes, scores) = jax.lax.scan(step, init_boxes, xs)
         boxes = jnp.concatenate([init_boxes[:, None], boxes.swapaxes(0, 1)], axis=1)
         scores = jnp.concatenate(
             [jnp.full((B, 1), jnp.inf), scores.swapaxes(0, 1)], axis=1

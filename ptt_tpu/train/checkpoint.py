@@ -91,6 +91,49 @@ def save_variables(path, params, batch_stats=None, metadata=None):
             json.dump(metadata, f, indent=2)
 
 
+def save_variables_npz(path, params, batch_stats=None, metadata=None):
+    """Single-file model-only checkpoint (numpy .npz), for artifacts that live in
+    git (committed test fixtures) where orbax's directory tree is unwieldy.
+
+    Keys are '/'-joined tree paths under 'params/' and 'batch_stats/'; metadata
+    (a flat str->str/number dict) rides along under '__meta__/<key>'.
+    """
+    arrays = {}
+    for root_key, tree in (("params", params), ("batch_stats", batch_stats or {})):
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(str(getattr(k, "key", k)) for k in key_path)
+            arrays[f"{root_key}/{name}"] = np.asarray(leaf)
+    for k, v in (metadata or {}).items():
+        arrays[f"__meta__/{k}"] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
+def load_variables_npz(path):
+    """Inverse of save_variables_npz. Returns (params, batch_stats, metadata)."""
+    with np.load(path, allow_pickle=False) as data:
+        out = {"params": {}, "batch_stats": {}}
+        meta = {}
+        for full_key in data.files:
+            parts = full_key.split("/")
+            if parts[0] == "__meta__":
+                meta["/".join(parts[1:])] = data[full_key][()]
+                continue
+            node = out[parts[0]]
+            for p in parts[1:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp_asarray_f32_preserving(data[full_key])
+    return out["params"], out["batch_stats"], meta
+
+
+def jnp_asarray_f32_preserving(x):
+    """np array -> jnp array keeping the stored dtype (jnp.asarray would keep it
+    too, but go through numpy to avoid x64 surprises on weird hosts)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x))
+
+
 def resolve_checkpoint_path(path, epoch=None):
     """Resolve a user-supplied checkpoint argument to a concrete orbax tree dir.
 

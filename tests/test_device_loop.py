@@ -25,6 +25,7 @@ from ptt_tpu.eval.device_loop import (
     eval_one_epoch_device,
     make_device_tracker,
     masked_resample,
+    masked_resample_long,
 )
 
 
@@ -95,6 +96,23 @@ def test_masked_resample_selects_only_valid(rng):
     valid_set = {tuple(np.round(p, 5)) for p in np.asarray(pts[:17])}
     for p in np.asarray(out):
         assert tuple(np.round(p, 5)) in valid_set
+
+
+def test_masked_resample_long_identical_to_short(rng):
+    """Both variants select the pick-th valid row for the same uniform draws, so
+    with the same key their outputs are bit-identical (the long variant just
+    replaces the stable sort with prefix-sum + searchsorted)."""
+    pts = jnp.asarray(rng.standard_normal((500, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random(500) < 0.3)
+    key = jax.random.PRNGKey(3)
+    a, ca = masked_resample(pts, mask, 128, key)
+    b, cb = masked_resample_long(pts, mask, 128, key)
+    assert int(ca) == int(cb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # degenerate path too
+    a, _ = masked_resample(pts, mask & False, 128, key)
+    b, _ = masked_resample_long(pts, mask & False, 128, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_masked_resample_degenerate_zeroes(rng):
@@ -219,13 +237,78 @@ def test_real_model_device_tracker(synth_cfg_loader):
     assert np.isfinite(fps) and fps > 0
 
 
-def test_device_tracker_rejects_unbounded_aggregation(synth_cfg_loader):
+def test_device_matches_host_all_aggregation(synth_cfg_loader):
+    """SHAPE_AGGREGATION='all' (the last host-only eval config, VERDICT r2 #6) now
+    runs in the scan: the predicted-box history is carried and every earlier frame
+    is re-cropped from the resident buffer. With the constant-offset model the
+    trajectories must equal the host evaluator's exactly."""
+    cfg, loader = synth_cfg_loader
+    mod = cfg.copy()
+    mod.TEST = dict(mod.TEST)
+    mod.TEST["SHAPE_AGGREGATION"] = "all"
+    model = ConstOffsetModel()
+
+    host_ev = TrackingEvaluator(mod, model, {}, loader.dataset)
+    dev_ev = DeviceTrackingEvaluator(mod, model, {}, max_points=2048, batch_size=2)
+
+    tracklets = [trk for batch in loader for trk in batch]
+    host_results = [host_ev.test_tracklet(*trk) for trk in tracklets]
+    dev_results = dev_ev.track_batch(tracklets)
+
+    for host_trk, dev_trk in zip(host_results, dev_results):
+        for hb, db in zip(host_trk, dev_trk):
+            np.testing.assert_allclose(hb.center, db.center, atol=1e-4)
+            h_yaw = np.arctan2(hb.rotation_matrix[1, 0], hb.rotation_matrix[0, 0])
+            d_yaw = np.arctan2(db.rotation_matrix[1, 0], db.rotation_matrix[0, 0])
+            assert abs((h_yaw - d_yaw + np.pi) % (2 * np.pi) - np.pi) < 1e-4
+
+
+def test_all_aggregation_template_sees_every_prior_frame(synth_cfg_loader):
+    """Pin that the 'all' path actually feeds the whole history to the model, not
+    just frames 0 and t-1: frames are tight blobs drifting in x (boxes static), so
+    the 'all' template has mass at the intermediate blob positions while the
+    'firstandprevious' template has endpoints only. The probe model reports the
+    fraction of template points in the mid-band as the proposal score."""
     cfg, _ = synth_cfg_loader
-    bad = cfg.copy()
-    bad.TEST = dict(bad.TEST)
-    bad.TEST["SHAPE_AGGREGATION"] = "all"
-    with pytest.raises(NotImplementedError):
-        make_device_tracker(ConstOffsetModel(), bad.DATA_CONFIG, bad.TEST)
+
+    class MidBandProbeModel:
+        def __init__(self, band_center):
+            self.band_center = float(band_center)
+
+        def apply(self, variables, batch, train=False):
+            tmpl = batch["template_points"]  # (B, S, 3)
+            frac = jnp.mean(
+                (jnp.abs(tmpl[:, :, 0] - self.band_center) < 0.2).astype(jnp.float32),
+                axis=1,
+            )
+            B = tmpl.shape[0]
+            data = jnp.zeros((B, 64, 5))
+            data = data.at[:, 0, 4].set(frac)  # score = mid-band mass, offset = 0
+            return {"pred_box_data": data}
+
+    rng = np.random.default_rng(0)
+    B, T, N = 1, 6, 512
+    base = (0.1 * rng.standard_normal((N, 3))).astype(np.float32)
+    drift = 0.5  # per-frame x drift; blob f sits at x = 0.5 f
+    pcs = np.stack([base + np.array([drift * t, 0, 0], np.float32) for t in range(T)])[None]
+    counts = np.full((B, T), N, np.int32)
+    init = np.zeros((B, 4), np.float32)
+    wlhs = np.full((B, 3), 6.0, np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    # at the final step (t = 5) history blobs sit at x = 0, .5, 1, 1.5, 2;
+    # probe the x = 1.0 band that only intermediate frames populate
+    band = drift * 2
+    results = {}
+    for mode in ("all", "firstandprevious"):
+        test_cfg = dict(cfg.TEST)
+        test_cfg["SHAPE_AGGREGATION"] = mode
+        fn = make_device_tracker(MidBandProbeModel(band), cfg.DATA_CONFIG, test_cfg)
+        _, scores = fn({}, pcs, counts, init, wlhs, keys)
+        results[mode] = np.asarray(scores)[0]
+    # 'all' at the last frame: ~1/5 of the template in the band; f+p: ~0
+    assert results["all"][-1] > 0.1
+    assert results["firstandprevious"][-1] < 0.02
 
 
 def test_device_tracker_shards_over_mesh(synth_cfg_loader):
