@@ -216,6 +216,9 @@ def eval_one_epoch(cfg, model, variables, dataloader, epoch_id="?", logger=None,
     ev.close()
 
     elapsed = time.perf_counter() - start
+    # per-section timer table (reference prints it per tracklet,
+    # eval_tracking_utils.py:104-108; once per epoch is the useful granularity)
+    timer.print_stats(logger)
     emit(
         f"*************** Performance of EPOCH {epoch_id} *****************\n"
         f"mean Succ/Prec {summary['success']:.1f}/{summary['precision']:.1f}  "

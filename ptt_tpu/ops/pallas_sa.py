@@ -243,7 +243,15 @@ def on_tpu() -> bool:
 # interpreter (slow; small shapes only). Read at trace time.
 FORCE_INTERPRET = False
 
+# Force the jnp composite path even on TPU — used by the fused-vs-jnp metric A/B
+# (docs/PARITY.md) and by profiling walks that need the unfused layer structure.
+# Read at trace time: flip it before tracing/jitting, not between calls of an
+# already-compiled function.
+DISABLE_FUSED = False
+
 
 def fused_enabled() -> bool:
     """Whether nn.sa_module should take the fused eval path."""
+    if DISABLE_FUSED:
+        return False
     return FORCE_INTERPRET or on_tpu()

@@ -38,6 +38,8 @@ def main():
         cost_analysis,
         count_parameters,
         format_cost_table,
+        format_layer_table,
+        per_layer_flops,
         per_module_cost_analysis,
     )
 
@@ -71,6 +73,9 @@ def main():
     # per-module breakdown (reference calc_flops table, tracker3d_template.py:158-267)
     rows = per_module_cost_analysis(cfg.MODEL, variables, eval_batch)
     print(format_cost_table(rows))
+
+    # per-layer walk (the reference's hook-based table granularity)
+    print(format_layer_table(per_layer_flops(model, variables, eval_batch)))
 
     train_step = jax.jit(make_train_step(cfg.MODEL))
     t0 = time.perf_counter()
