@@ -539,9 +539,14 @@ def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logge
     if in_flight is not None:
         ev.finish_batch(in_flight)
     elapsed = time.perf_counter() - start
-    s = ev.summary()
+    # multi-host: each process tracked its tracklet shard; merge the raw
+    # per-frame metric lists and recompute the global AUCs (no-op single-process)
+    from .metrics import merged_main_metrics
+
+    succ, prec, total_frames = merged_main_metrics(ev.evaluator)
     emit(
-        f"[device eval] epoch {epoch_id}: Succ/Prec {s['success']:.1f}/{s['precision']:.1f}  "
-        f"({n_frames} frames in {elapsed:.1f}s = {n_frames / elapsed:.1f} fps)"
+        f"[device eval] epoch {epoch_id}: Succ/Prec {succ:.1f}/{prec:.1f}  "
+        f"({total_frames} frames; local {n_frames} in {elapsed:.1f}s = "
+        f"{n_frames / elapsed:.1f} fps)"
     )
-    return s["success"], s["precision"], n_frames / elapsed
+    return succ, prec, n_frames / elapsed

@@ -219,12 +219,18 @@ def eval_one_epoch(cfg, model, variables, dataloader, epoch_id="?", logger=None,
     # per-section timer table (reference prints it per tracklet,
     # eval_tracking_utils.py:104-108; once per epoch is the useful granularity)
     timer.print_stats(logger)
+    # multi-host: merge the per-frame metric lists across the tracklet shards
+    # (no-op single-process)
+    from .metrics import merged_main_metrics
+
+    succ, prec, total_frames = merged_main_metrics(ev.evaluator)
     emit(
         f"*************** Performance of EPOCH {epoch_id} *****************\n"
-        f"mean Succ/Prec {summary['success']:.1f}/{summary['precision']:.1f}  "
-        f"({n_frames} frames, {elapsed:.1f}s, tracked at {summary['fps']:.1f} fps)"
+        f"mean Succ/Prec {succ:.1f}/{prec:.1f}  "
+        f"({total_frames} frames, {elapsed:.1f}s local, "
+        f"tracked at {summary['fps']:.1f} fps)"
     )
     if tb_log is not None:
-        tb_log.add_scalar("metric/succ", summary["success"], epoch_id)
-        tb_log.add_scalar("metric/prec", summary["precision"], epoch_id)
-    return summary["success"], summary["precision"]
+        tb_log.add_scalar("metric/succ", succ, epoch_id)
+        tb_log.add_scalar("metric/prec", prec, epoch_id)
+    return succ, prec

@@ -192,6 +192,27 @@ class Precision:
         return float(np.trapezoid(self.value, x=self.Xaxis) * 100 / self.max_accuracy)
 
 
+def merged_main_metrics(evaluator):
+    """Global (success, precision, frames) across all processes: gather every
+    process's raw per-frame overlap/accuracy lists with a device all_gather and
+    recompute the AUCs over the union — the reference's merge_results_dist
+    (common_utils.py:309-330) without the pickle tmpdir. Single-process: the
+    local averages unchanged."""
+    from ..utils.dist import get_dist_info, merge_metric_lists
+
+    if get_dist_info()[1] == 1:
+        return (
+            evaluator.Success_main.average,
+            evaluator.Precision_main.average,
+            evaluator.Success_main.count,
+        )
+    s = Success()
+    s.overlaps = list(merge_metric_lists(evaluator.Success_main.overlaps))
+    p = Precision()
+    p.accuracies = list(merge_metric_lists(evaluator.Precision_main.accuracies))
+    return s.average, p.average, s.count
+
+
 class Evaluator:
     """Main + per-batch(tracklet) accumulators; context manager resets the batch
     accumulators per tracklet (reference :6-34)."""

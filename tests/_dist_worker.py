@@ -80,7 +80,61 @@ def main():
     sums = sorted(merged)[world:]  # rank values 0..world-1 sort below the sums
     assert all(abs(s - sums[0]) < 1e-6 * max(1.0, abs(sums[0])) for s in sums), sums
 
-    print(f"DIST-WORKER-OK rank={rank}/{world} loss={loss:.5f} param_sum={param_sum:.4f}")
+    # ---- eval half: shard test tracklets across processes, track each shard
+    # through the device loop, merge Success/Precision globally, and check the
+    # merged metric equals a local full (unsharded) run (reference
+    # merge_results_dist, common_utils.py:309-330).
+    from ptt_tpu.config import cfg_from_yaml_file
+    from ptt_tpu.data.loader import build_dataloader
+    from ptt_tpu.eval.device_loop import DeviceTrackingEvaluator
+    from ptt_tpu.eval.metrics import merged_main_metrics
+
+    class ConstOffsetModel:
+        OFFSET = np.array([0.12, -0.05, 0.02, 3.0], np.float32)
+
+        def apply(self, variables, batch, train=False):
+            import jax.numpy as jnp
+
+            B = batch["search_points"].shape[0]
+            data = np.zeros((B, 64, 5), np.float32)
+            data[:, :, :4] = self.OFFSET
+            data[:, 0, 4] = 5.0
+            return {"pred_box_data": jnp.asarray(data)}
+
+    eval_cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt.yaml")
+    ds_cfg = dict(eval_cfg.DATA_CONFIG)
+    ds_cfg.update(
+        DATASET="SyntheticTrackingDataset", NUM_TRACKLETS=4, FRAMES_PER_TRACKLET=6
+    )
+    # this process's shard (sharding slices within each delivered batch, so the
+    # batch must be `world` tracklets -> one per process per global batch)
+    _, shard_loader = build_dataloader(
+        ds_cfg, ["Car"], batch_size=world, training=False,
+        num_shards=world, shard_id=rank,
+    )
+    shard_trks = [trk for batch in shard_loader for trk in batch]
+    assert 0 < len(shard_trks) < 4, len(shard_trks)  # actually sharded
+    dev_ev = DeviceTrackingEvaluator(
+        eval_cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=2
+    )
+    dev_ev.track_batch(shard_trks)
+    succ, prec, frames = merged_main_metrics(dev_ev.evaluator)
+    assert frames == 4 * 6, frames  # merged count covers every shard
+
+    # local full run for the expected global metric (the constant-offset model
+    # ignores the resampled points, so trajectories are batching-independent)
+    _, full_loader = build_dataloader(ds_cfg, ["Car"], batch_size=1, training=False)
+    full_trks = [trk for batch in full_loader for trk in batch]
+    ref_ev = DeviceTrackingEvaluator(
+        eval_cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=2
+    )
+    ref_ev.track_batch(full_trks)
+    ref = ref_ev.summary()
+    assert abs(succ - ref["success"]) < 1e-6, (succ, ref["success"])
+    assert abs(prec - ref["precision"]) < 1e-6, (prec, ref["precision"])
+
+    print(f"DIST-WORKER-OK rank={rank}/{world} loss={loss:.5f} param_sum={param_sum:.4f} "
+          f"eval={succ:.4f}/{prec:.4f}")
 
 
 if __name__ == "__main__":

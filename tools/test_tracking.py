@@ -46,6 +46,9 @@ def parse_config():
                         help="watch the ckpt dir and evaluate every new checkpoint")
     parser.add_argument("--ckpt_dir", type=str, default=None,
                         help="ckpt dir to watch with --eval_all")
+    parser.add_argument("--launcher", choices=["none", "jax"], default="none",
+                        help="'jax' initializes jax.distributed: each process evaluates "
+                             "its shard of the test tracklets; metrics merge globally")
     args = parser.parse_args()
 
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -58,10 +61,10 @@ def parse_config():
 
 
 def _device_loop_supported(cfg):
-    # all three REF_BOX modes run on device; only the unbounded 'all' template
-    # aggregation needs the host evaluator
-    agg = str(cfg.TEST.get("SHAPE_AGGREGATION", "firstandprevious")).upper()
-    return not ("ALL" in agg and "FIRSTANDPREVIOUS" not in agg)
+    # every TEST config runs on device now: all three REF_BOX modes plus all four
+    # SHAPE_AGGREGATION modes including 'all' (box-history carry in the scan);
+    # --host_loop remains for reference-exact-RNG parity runs
+    return True
 
 
 def init_variables(model, cfg):
@@ -92,9 +95,6 @@ def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, ep
         logger.info("no --ckpt given: evaluating a randomly initialized network")
 
     use_device = not args.host_loop and _device_loop_supported(cfg)
-    if not use_device and not args.host_loop:
-        logger.info("SHAPE_AGGREGATION='all' grows without bound; "
-                    "falling back to the host evaluator (~1000x slower per frame)")
     if use_device:
         succ, prec, fps = eval_one_epoch_device(
             cfg, model, variables, loader, epoch_id=epoch_tag, logger=logger,
@@ -155,6 +155,11 @@ def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir,
 def main():
     args, _ = parse_config()
 
+    if args.launcher == "jax":
+        import jax
+
+        jax.distributed.initialize()
+
     import jax
 
     from ptt_tpu.data.loader import build_dataloader
@@ -162,18 +167,26 @@ def main():
     from ptt_tpu.utils import create_logger, set_manual_seed
 
     set_manual_seed(2)  # reference test seed (test_tracking.py:127)
+    process_index = jax.process_index()
+    num_processes = jax.process_count()
 
     output_dir = REPO_ROOT / "output" / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
     result_dir = output_dir / "eval" / args.eval_tag
     result_dir.mkdir(parents=True, exist_ok=True)
     log_file = result_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
-    logger = create_logger(log_file)
-    logger.info(f"devices: {jax.devices()}")
+    logger = create_logger(log_file, rank=process_index)
+    logger.info(f"devices: {jax.devices()} "
+                f"(process {process_index}/{num_processes})")
     log_config_to_file(cfg, logger=logger)
 
+    # each process evaluates its tracklet shard (reference: DistributedSampler on
+    # the test set, datasets/__init__.py:57-64); metrics merge in eval_one_epoch*.
+    # Sharding slices within each delivered batch, so the test loader's batch is
+    # num_processes tracklets -> one per process per global batch.
     _, loader = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1,
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=max(1, num_processes),
         workers=args.workers, logger=logger, training=False,
+        num_shards=num_processes, shard_id=process_index,
     )
     model = build_network(cfg.MODEL)
 
