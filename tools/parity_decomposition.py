@@ -24,6 +24,13 @@ ASSET = REPO_ROOT / "tests" / "assets" / "ptt_synth_trained.npz"
 
 
 def main():
+    import jax
+
+    if "--tpu" not in sys.argv:
+        # CPU: same platform as CI; also keeps the decomposition comparable to
+        # the committed agreement-test numbers (env JAX_PLATFORMS is overridden
+        # by the TPU plugin's sitecustomize, so use the config knob)
+        jax.config.update("jax_platforms", "cpu")
     from ptt_tpu.config import cfg_from_yaml_file
     from ptt_tpu.data.loader import build_dataloader
     from ptt_tpu.eval import TrackingEvaluator
