@@ -64,18 +64,22 @@ def bench_config(cfg_file, batch_size, iters, workers=8):
         costs = costs[0] if costs else {}
     flops = float(costs.get("flops", -1.0))
 
-    # NOTE: the donated state means `state` is consumed; re-create for timing
+    # NOTE: the donated state means `state` is consumed; re-create for timing.
+    # The AOT .compile() above does NOT populate the jit call cache, so the first
+    # call path still pays a (cached) compile + executable load — warm it up with
+    # a few untimed iterations before measuring.
+    import numpy as np
+
     state = create_train_state(model, tx, batch)
-    state, m = step(state, sharded)  # warmup execute (cache-hit compile)
-    m = jax.device_get(m)
+    for _ in range(4):
+        state, m = step(state, shard_batch(batch, mesh))
+    float(np.asarray(jax.device_get(m["loss"])))
 
     # 1. pure device step: chain N steps through the state carry, block once
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, shard_batch(batch, mesh))
     # materialize to really synchronize (tunnel backends lie to block_until_ready)
-    import numpy as np
-
     float(np.asarray(jax.device_get(m["loss"])))
     device_ms = (time.perf_counter() - t0) / iters * 1e3
 
