@@ -70,7 +70,10 @@ def crop_canonical(pts, valid, box_vec, wlh, offset, scale):
 
 def masked_resample(pts, mask, n_out: int, key):
     """Uniform-with-replacement resample of the masked rows to exactly ``n_out``
-    (device analog of regularize_pc, geometry.py:392: <=2 valid points -> zeros)."""
+    (device analog of regularize_pc, geometry.py:392: <=2 valid points -> zeros).
+
+    The pick-th valid row is selected via an argsort that moves valid rows first
+    (stable, so original order is preserved among them)."""
     order = jnp.argsort(jnp.logical_not(mask), stable=True)  # valid rows first
     count = jnp.sum(mask)
     pick = jax.random.randint(key, (n_out,), 0, jnp.maximum(count, 1))
@@ -79,10 +82,12 @@ def masked_resample(pts, mask, n_out: int, key):
 
 
 def masked_resample_long(pts, mask, n_out: int, key):
-    """Same semantics as masked_resample, but selects the k-th valid row via a
-    prefix-sum + searchsorted instead of a stable argsort — O(L log n_out) picks
-    rather than an O(L log L) sort, which matters for the 'all'-aggregation path
-    where L = T*N (~100k rows) per scan step."""
+    """Bit-identical to masked_resample (same key -> same picks -> same rows;
+    tests/test_device_loop.py), but selects the k-th valid row via a prefix sum +
+    searchsorted instead of a stable argsort — O(L) + O(n_out log L) instead of
+    an O(L log^2 L) on-device bitonic sort. Used for every in-scan resample: L is
+    ``max_points`` (up to 16384 for real KITTI frames) for the search/template
+    crops and T*N (~100k) for the 'all'-aggregation template union."""
     csum = jnp.cumsum(mask.astype(jnp.int32))  # (L,), monotone
     count = csum[-1]
     pick = jax.random.randint(key, (n_out,), 0, jnp.maximum(count, 1))
@@ -153,7 +158,7 @@ def make_device_tracker(
 
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
     _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
-    _resample_b = jax.vmap(masked_resample, in_axes=(0, 0, None, 0))
+    _resample_b = jax.vmap(masked_resample_long, in_axes=(0, 0, None, 0))
     _resample_long_b = jax.vmap(masked_resample_long, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
     # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
