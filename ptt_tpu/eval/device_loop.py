@@ -85,15 +85,24 @@ def masked_resample_long(pts, mask, n_out: int, key):
     """Bit-identical to masked_resample (same key -> same picks -> same rows;
     tests/test_device_loop.py), but selects the k-th valid row via a prefix sum +
     searchsorted instead of a stable argsort — O(L) + O(n_out log L) instead of
-    an O(L log^2 L) on-device bitonic sort. Used for every in-scan resample: L is
-    ``max_points`` (up to 16384 for real KITTI frames) for the search/template
-    crops and T*N (~100k) for the 'all'-aggregation template union."""
+    an O(L log^2 L) on-device bitonic sort. Asymptotically better, but measured
+    ~10-15% slower end-to-end at the bench's short rows (L=1280), so the in-scan
+    dispatcher below is length-adaptive."""
     csum = jnp.cumsum(mask.astype(jnp.int32))  # (L,), monotone
     count = csum[-1]
     pick = jax.random.randint(key, (n_out,), 0, jnp.maximum(count, 1))
     idx = jnp.searchsorted(csum, pick + 1, side="left")
     out = jnp.take(pts, idx, axis=0, mode="clip")
     return jnp.where(count > 2, out, jnp.zeros_like(out)), count
+
+
+def masked_resample_auto(pts, mask, n_out: int, key):
+    """Length-adaptive masked resample (both variants pick identical rows):
+    the bitonic argsort wins at short rows (bench A/B, docs/PERFORMANCE.md), the
+    prefix-sum selector at long ones (real-KITTI max_points=16384 frames and the
+    'all'-aggregation T*N union)."""
+    fn = masked_resample if pts.shape[0] <= 4096 else masked_resample_long
+    return fn(pts, mask, n_out, key)
 
 
 def decode_box_offset(box_vec, offset4, use_z: bool):
@@ -158,8 +167,8 @@ def make_device_tracker(
 
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
     _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
-    _resample_b = jax.vmap(masked_resample_long, in_axes=(0, 0, None, 0))
-    _resample_long_b = jax.vmap(masked_resample_long, in_axes=(0, 0, None, 0))
+    _resample_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
+    _resample_long_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
     # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
     _crop_bt = jax.vmap(
