@@ -82,12 +82,32 @@ class SharedMLP(nn.Module):
     activation: Callable | None = nn.relu
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        for c in self.channels[1:]:
-            x = nn.Dense(c, use_bias=not self.bn, kernel_init=kaiming_normal_init())(x)
+    def __call__(self, x, train: bool = False, first_linear_apply=None):
+        """``first_linear_apply``: optional hook replacing layer 0's Dense with a
+        caller-supplied function of its kernel weights — used by the fused
+        grouped-first-linear TPU path (ops/pallas_group.py), where the layer-0
+        matmul happens inside a Pallas kernel that never materializes the
+        gathered input. Layer 0's params are still created (dummy bind), so the
+        parameter tree is identical either way. Names are pinned to the flax
+        autonames (Dense_i / BatchNorm_i) so checkpoints are unaffected.
+        """
+        for i, c in enumerate(self.channels[1:]):
+            if i == 0 and first_linear_apply is not None:
+                dense = nn.Dense(
+                    c, use_bias=not self.bn, kernel_init=kaiming_normal_init(),
+                    name="Dense_0",
+                )
+                dense(jnp.zeros((1, self.channels[0]), jnp.float32))  # bind params
+                x = first_linear_apply(dense.variables["params"]["kernel"])
+            else:
+                x = nn.Dense(
+                    c, use_bias=not self.bn, kernel_init=kaiming_normal_init(),
+                    name=f"Dense_{i}",
+                )(x)
             if self.bn:
                 x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    name=f"BatchNorm_{i}",
                 )(x)
             if self.activation is not None:
                 x = self.activation(x)

@@ -109,6 +109,30 @@ class PointnetSAModule(nn.Module):
             )
             return new_xyz, new_features, inds
 
+        if train and self.bn and pallas_sa.fused_enabled():
+            # TRAIN on TPU: the SA stage can't fuse whole (BatchNorm needs the
+            # global batch statistics of every layer's pre-activation), but the
+            # neighborhood gather CAN — measured at 32% of the train step
+            # (docs/PERFORMANCE.md). grouped_first_linear runs ball-query +
+            # group + the layer-0 matmul in one kernel with a custom VJP whose
+            # backward is a one-hot transpose matmul (never an XLA scatter);
+            # layers >= 1 stay flax (BN stats/updates identical to the jnp
+            # path). Output is slot-major (B, nsample, npoint, H) — BN/Dense
+            # are axis-agnostic; the neighborhood max pools axis 1.
+            from ..ops import pallas_group
+
+            def first_linear(w1):
+                return pallas_group.grouped_first_linear(
+                    xyz, new_xyz, features, w1,
+                    float(self.radius), int(self.nsample),
+                    normalize_xyz=self.normalize_xyz, use_xyz=self.use_xyz,
+                    interpret=pallas_sa.FORCE_INTERPRET,
+                )
+
+            new_features = mlp(None, train=train, first_linear_apply=first_linear)
+            new_features = jnp.max(new_features, axis=1)
+            return new_xyz, new_features, inds
+
         grouped, _, _ = ops.query_and_group(
             self.radius,
             self.nsample,

@@ -178,12 +178,16 @@ def fused_sa_inference(
     if use_xyz:
         w1x = w1[:3] / (radius if normalize_xyz else 1.0)  # (3, H1)
         w1f = w1[3:]
-        z = jnp.einsum("bnc,ch->bnh", xyz, w1x)
+        # HIGHEST on the xyz terms: gather(Z) + O cancels world-coordinate-scale
+        # values down to the radius-scale relative offset, so bf16-pass rounding
+        # here amplifies ~100x (see pallas_group._fold_inputs); K=3, cost-free
+        hi = jax.lax.Precision.HIGHEST
+        z = jnp.einsum("bnc,ch->bnh", xyz, w1x, precision=hi)
         if features is not None:
             z = z + jnp.einsum(
                 "bnc,ch->bnh", jax.lax.stop_gradient(features.astype(jnp.float32)), w1f
             )
-        off = b1[None] - jnp.einsum("bmc,ch->bmh", new_xyz, w1x)  # (B, M, H1)
+        off = b1[None] - jnp.einsum("bmc,ch->bmh", new_xyz, w1x, precision=hi)  # (B, M, H1)
     else:
         z = jnp.einsum(
             "bnc,ch->bnh", jax.lax.stop_gradient(features.astype(jnp.float32)), w1
