@@ -255,7 +255,18 @@ DISABLE_FUSED = False
 
 
 def fused_enabled() -> bool:
-    """Whether nn.sa_module should take the fused eval path."""
+    """Whether nn.sa_module should take the fused (Pallas-kernel) paths.
+
+    Multi-chip guard: a pallas_call under a >1-device pjit mesh would need
+    shard_map/custom partitioning, which is not wired up (and not verifiable on
+    this single-chip environment) — fall back to the jnp path there, which
+    partitions automatically.
+    """
     if DISABLE_FUSED:
         return False
-    return FORCE_INTERPRET or on_tpu()
+    if FORCE_INTERPRET:
+        return True
+    try:
+        return on_tpu() and len(jax.devices()) == 1
+    except Exception:  # pragma: no cover - uninitialized backend
+        return False
