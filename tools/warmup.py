@@ -99,6 +99,24 @@ def main():
               f"{time.perf_counter() - t0:.1f}s")
 
     if args.seed_out:
+        # The persistent-cache key is entry-point-process-sensitive (a tracker
+        # executable compiled from this process does NOT hit for a `python
+        # bench.py` process — observed empirically; bench-to-bench hits are
+        # reliable). So compile the bench's own tracker entry by actually
+        # running bench.py as a subprocess against the same cache dir before
+        # copying the seeds.
+        import subprocess
+        import sys as _sys
+
+        print("running bench.py once to write its own-keyed executables ...")
+        proc = subprocess.run(
+            [_sys.executable, str(REPO_ROOT / "bench.py")],
+            cwd=REPO_ROOT, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        tail = "\n".join(proc.stdout.splitlines()[-4:])
+        print(f"bench rc={proc.returncode}\n{tail}")
+
         seed_dir = REPO_ROOT / args.seed_out
         seed_dir.mkdir(parents=True, exist_ok=True)
         copied = 0
