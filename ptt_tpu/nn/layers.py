@@ -93,6 +93,9 @@ class SharedMLP(nn.Module):
         """
         for i, c in enumerate(self.channels[1:]):
             if i == 0 and first_linear_apply is not None:
+                # the fused grouped-first-linear kernel is bias-free; layer 0
+                # only has no bias when BN follows it
+                assert self.bn, "first_linear_apply requires bn=True (bias-free Dense_0)"
                 dense = nn.Dense(
                     c, use_bias=not self.bn, kernel_init=kaiming_normal_init(),
                     name="Dense_0",

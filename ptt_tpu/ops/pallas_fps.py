@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import point_ops
+from . import mesh_ctx, point_ops
 
 
 def _fps_kernel(npoint: int, B: int, n: int, xyz_ref, out_ref, min_d2_ref):
@@ -61,24 +61,35 @@ def _fps_kernel(npoint: int, B: int, n: int, xyz_ref, out_ref, min_d2_ref):
     jax.lax.fori_loop(0, npoint, body, jnp.zeros((B, 1), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
-def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int, interpret: bool = False):
-    """xyz (B, N, 3) -> (B, npoint) int32 via the Pallas kernel."""
-    B, N, _ = xyz.shape
+@functools.partial(
+    jax.jit, static_argnames=("npoint", "interpret", "mesh", "axis")
+)
+def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
+                                 interpret: bool = False, mesh=None, axis="data"):
+    """xyz (B, N, 3) -> (B, npoint) int32 via the Pallas kernel.
+
+    ``mesh``/``axis``: optional installed mesh (ops.mesh_ctx) — the kernel then
+    runs in a shard_map over the batch axis; part of the jit key so installing
+    a mesh retraces."""
     # index-valued op: no gradient flows through sampling (the CUDA kernel's
     # wrapper marks it non-differentiable too); stop_gradient keeps AD from
     # attempting a JVP rule for the pallas_call
     xyz = jax.lax.stop_gradient(xyz)
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
-    kernel = functools.partial(_fps_kernel, npoint, B, N)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
-        interpret=interpret,
-    )(xyz_t)
+
+    def _call(xyz_):
+        B, N, _ = xyz_.shape  # local batch shard under shard_map
+        xyz_t = jnp.transpose(xyz_.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+        kernel = functools.partial(_fps_kernel, npoint, B, N)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+            interpret=interpret,
+        )(xyz_t)
+
+    return mesh_ctx.shard_batched(_call, mesh, axis, 1)(xyz)
 
 
 def on_tpu() -> bool:
@@ -89,9 +100,15 @@ def on_tpu() -> bool:
 
 
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
-    """Dispatcher: Pallas kernel on TPU, jnp reference elsewhere."""
+    """Dispatcher: Pallas kernel on TPU, jnp reference elsewhere. Under an
+    installed >1-device mesh the kernel shard_maps over the batch axis (the
+    batch must divide the mesh; the jnp path partitions automatically when it
+    doesn't, so multi-chip never silently breaks)."""
+    mesh, axis = mesh_ctx.get_mesh()
     if on_tpu():
-        return furthest_point_sample_pallas(xyz, npoint)
+        if mesh is not None and xyz.shape[0] % mesh.size:
+            return point_ops.furthest_point_sample(xyz, npoint)
+        return furthest_point_sample_pallas(xyz, npoint, mesh=mesh, axis=axis)
     return point_ops.furthest_point_sample(xyz, npoint)
 
 

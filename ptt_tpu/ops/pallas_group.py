@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import mesh_ctx
 from .pallas_sa import _cumsum_lanes, _pick_tm
 
 
@@ -194,26 +195,35 @@ def grouped_first_linear(
 
 
 def _run_fwd(z, off, xyz, new_xyz, radius, nsample, interpret):
-    B, N, H = z.shape
-    M = new_xyz.shape[1]
-    TM = _pick_tm(M, H)
-    NC = 256 if N > 256 else N
-    kernel = functools.partial(_fwd_kernel, TM, N, H, int(nsample), NC, float(radius))
-    return pl.pallas_call(
-        kernel,
-        grid=(B, M // TM),
-        in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, H), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nsample, TM, H), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, nsample, M, H), jnp.float32),
-        interpret=interpret,
-    )(xyz, new_xyz, z, off)
+    H = z.shape[-1]
+
+    def _call(xyz_, new_xyz_, z_, off_):
+        # static quantities from LOCAL shapes (per-device batch shard under mesh)
+        b_loc, n_loc = xyz_.shape[0], xyz_.shape[1]
+        m_loc = new_xyz_.shape[1]
+        TM = _pick_tm(m_loc, H)
+        NC = 256 if n_loc > 256 else n_loc
+        kernel = functools.partial(
+            _fwd_kernel, TM, n_loc, H, int(nsample), NC, float(radius)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b_loc, m_loc // TM),
+            in_specs=[
+                pl.BlockSpec((1, n_loc, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TM, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_loc, H), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TM, H), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, nsample, TM, H), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_loc, nsample, m_loc, H), jnp.float32),
+            interpret=interpret,
+        )(xyz_, new_xyz_, z_, off_)
+
+    mesh, axis = mesh_ctx.get_mesh()
+    return mesh_ctx.shard_batched(_call, mesh, axis, 4)(xyz, new_xyz, z, off)
 
 
 def _grouped_first_linear_fwd(
@@ -233,34 +243,40 @@ def _grouped_first_linear_bwd(
     radius, nsample, normalize_xyz, use_xyz, interpret, res, dD
 ):
     xyz, new_xyz, features, w1 = res
-    B, N = xyz.shape[0], xyz.shape[1]
-    M = new_xyz.shape[1]
     H = w1.shape[1]
     dD = dD.astype(jnp.float32)
 
-    # smaller center tiles than forward: the backward holds ~5 slot-major
-    # (TM*ns, H) temporaries (dD + hi/lo splits) plus the (N, H) accumulator in
-    # VMEM at once; TM=128 OOMs the 16M scoped-vmem limit at stage-1 shapes
-    TM = 32 if H > 128 else 64
-    while M % TM:
-        TM //= 2
-    TM = max(TM, 1)
-    NC = 256 if N > 256 else N
-    kernel = functools.partial(_bwd_kernel, TM, N, H, int(nsample), NC, float(radius))
-    dZ = pl.pallas_call(
-        kernel,
-        grid=(B, M // TM),
-        in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, nsample, TM, H), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, N, H), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, H), jnp.float32),
-        interpret=interpret,
-    )(xyz, new_xyz, dD)
+    def _call(xyz_, new_xyz_, dD_):
+        b_loc, n_loc = xyz_.shape[0], xyz_.shape[1]
+        m_loc = new_xyz_.shape[1]
+        # smaller center tiles than forward: the backward holds ~5 slot-major
+        # (TM*ns, H) temporaries (dD + hi/lo splits) plus the (N, H) accumulator
+        # in VMEM at once; TM=128 OOMs the 16M scoped-vmem limit at stage-1 shapes
+        TM = 32 if H > 128 else 64
+        while m_loc % TM:
+            TM //= 2
+        TM = max(TM, 1)
+        NC = 256 if n_loc > 256 else n_loc
+        kernel = functools.partial(
+            _bwd_kernel, TM, n_loc, H, int(nsample), NC, float(radius)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b_loc, m_loc // TM),
+            in_specs=[
+                pl.BlockSpec((1, n_loc, 3), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TM, 3), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, nsample, TM, H), lambda b, m: (b, 0, m, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, n_loc, H), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b_loc, n_loc, H), jnp.float32),
+            interpret=interpret,
+        )(xyz_, new_xyz_, dD_)
+
+    mesh, axis = mesh_ctx.get_mesh()
+    dZ = mesh_ctx.shard_batched(_call, mesh, axis, 3)(xyz, new_xyz, dD)
 
     dO = jnp.sum(dD, axis=1)  # (B, M, H): every slot row carries off once
     r = radius if normalize_xyz else 1.0

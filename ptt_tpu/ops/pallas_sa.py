@@ -53,6 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import mesh_ctx
+
 
 def _pick_tm(M: int, width: int) -> int:
     """Center-tile size: VMEM peaks scale with TM*ns*max(H_i). Measured: TM=128
@@ -139,10 +141,6 @@ def _sa_kernel(TM, N, H1, ns, NC, radius, n_tail, *refs):
     out_ref[0] = acc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "nsample", "normalize_xyz", "use_xyz", "interpret"),
-)
 def fused_sa_inference(
     xyz,
     new_xyz,
@@ -165,7 +163,39 @@ def fused_sa_inference(
         use_xyz (relative-xyz channels first, like ops.query_and_group).
     Returns:
       (B, M, C_out) == max over neighborhood of MLP([rel_xyz | feats]).
+
+    Under an installed >1-device mesh (ops.mesh_ctx) the kernel runs inside a
+    shard_map over the batch axis — every device executes the identical grid
+    program on its batch shard. The (mesh, axis) pair is part of the jit key so
+    installing a mesh retraces.
     """
+    mesh, axis = mesh_ctx.get_mesh()
+    return _fused_sa_jit(
+        xyz, new_xyz, features, radius, nsample, weights, biases,
+        normalize_xyz, use_xyz, interpret, mesh, axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "nsample", "normalize_xyz", "use_xyz", "interpret", "mesh", "axis",
+    ),
+)
+def _fused_sa_jit(
+    xyz,
+    new_xyz,
+    features,
+    radius: float,
+    nsample: int,
+    weights,
+    biases,
+    normalize_xyz: bool,
+    use_xyz: bool,
+    interpret: bool,
+    mesh,
+    axis: str,
+):
     xyz = jax.lax.stop_gradient(xyz.astype(jnp.float32))
     new_xyz = jax.lax.stop_gradient(new_xyz.astype(jnp.float32))
     B, N, _ = xyz.shape
@@ -196,37 +226,48 @@ def fused_sa_inference(
 
     H1 = z.shape[-1]
     c_out = weights[-1].shape[-1]
-    TM = _pick_tm(M, max(H1, *(w.shape[-1] for w in weights)))
-    NC = 256 if N > 256 else N
-
-    kernel = functools.partial(
-        _sa_kernel, TM, N, H1, int(nsample), NC, float(radius), len(weights) - 1
-    )
+    width = max(H1, *(w.shape[-1] for w in weights))
     wb_args = []
-    wb_specs = []
     for w, b in zip(weights[1:], biases[1:]):
         wb_args += [w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32)]
-        wb_specs += [
-            pl.BlockSpec(w.shape, lambda b_, m_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b.size), lambda b_, m_: (0, 0), memory_space=pltpu.VMEM),
-        ]
+    n_tail = len(weights) - 1
 
-    return pl.pallas_call(
-        kernel,
-        grid=(B, M // TM),
-        in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b_, m_: (b_, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, 3), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H1), lambda b_, m_: (b_, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM, H1), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM),
-            *wb_specs,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TM, c_out), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, M, c_out), jnp.float32),
-        interpret=interpret,
-    )(xyz, new_xyz, z, off, *wb_args)
+    def _call(xyz_, new_xyz_, z_, off_, *wb):
+        # static quantities from LOCAL shapes: under shard_map this traces with
+        # the per-device batch shard (B/mesh.size)
+        b_loc, n_loc = xyz_.shape[0], xyz_.shape[1]
+        m_loc = new_xyz_.shape[1]
+        TM = _pick_tm(m_loc, width)
+        NC = 256 if n_loc > 256 else n_loc
+        kernel = functools.partial(
+            _sa_kernel, TM, n_loc, H1, int(nsample), NC, float(radius), n_tail
+        )
+        wb_specs = []
+        for wi in range(n_tail):
+            w, b = wb[2 * wi], wb[2 * wi + 1]
+            wb_specs += [
+                pl.BlockSpec(w.shape, lambda b_, m_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(b.shape, lambda b_, m_: (0, 0), memory_space=pltpu.VMEM),
+            ]
+        return pl.pallas_call(
+            kernel,
+            grid=(b_loc, m_loc // TM),
+            in_specs=[
+                pl.BlockSpec((1, n_loc, 3), lambda b_, m_: (b_, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TM, 3), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_loc, H1), lambda b_, m_: (b_, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TM, H1), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM),
+                *wb_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, TM, c_out), lambda b_, m_: (b_, m_, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_loc, m_loc, c_out), jnp.float32),
+            interpret=interpret,
+        )(xyz_, new_xyz_, z_, off_, *wb)
+
+    call = mesh_ctx.shard_batched(_call, mesh, axis, 4, len(wb_args))
+    return call(xyz, new_xyz, z, off, *wb_args)
 
 
 def fold_bn(kernel_w, bn_scale, bn_bias, bn_mean, bn_var, eps: float = 1e-5):
@@ -257,16 +298,22 @@ DISABLE_FUSED = False
 def fused_enabled() -> bool:
     """Whether nn.sa_module should take the fused (Pallas-kernel) paths.
 
-    Multi-chip guard: a pallas_call under a >1-device pjit mesh would need
-    shard_map/custom partitioning, which is not wired up (and not verifiable on
-    this single-chip environment) — fall back to the jnp path there, which
-    partitions automatically.
+    Multi-chip: the kernels run inside a shard_map over the batch axis of the
+    installed mesh (ops.mesh_ctx — set by make_sharded_train_step / the eval
+    device loop / dryrun_multichip), so the fused paths survive scaling. On a
+    multi-device backend WITHOUT an installed mesh we fall back to the jnp path:
+    a bare pallas_call has no partitioning rule, and whether the surrounding
+    program is sharded is unknowable here.
     """
     if DISABLE_FUSED:
         return False
     if FORCE_INTERPRET:
         return True
     try:
-        return on_tpu() and len(jax.devices()) == 1
+        if not on_tpu():
+            return False
+        if len(jax.devices()) == 1:
+            return True
+        return mesh_ctx.get_mesh()[0] is not None
     except Exception:  # pragma: no cover - uninitialized backend
         return False

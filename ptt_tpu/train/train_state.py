@@ -39,11 +39,15 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def create_train_state(model, tx, sample_batch, rng=None):
+def create_train_state(model, tx, sample_batch, rng=None, params=None,
+                       batch_stats=None):
+    """``params``/``batch_stats`` override the fresh init (e.g. weights converted
+    from a reference torch checkpoint, utils/torch_converter.py)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = jax.jit(lambda b: model.init(rng, b, train=False))(sample_batch)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    params = variables["params"] if params is None else params
+    if batch_stats is None:
+        batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -155,6 +159,11 @@ def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data",
     """Jit the train step with explicit shardings: state replicated, batch sharded.
     XLA turns the batch-axis reductions (loss mean, BN stats) and the gradient
     averaging into ICI collectives."""
+    # install the mesh for the fused Pallas kernels: they shard_map over the
+    # batch axis instead of falling back to the jnp path (ops/mesh_ctx.py)
+    from ..ops import mesh_ctx
+
+    mesh_ctx.set_mesh(mesh, axis)
     train_step = make_train_step(
         model_cfg, with_bn_momentum=with_bn_momentum, mixed_precision=mixed_precision
     )
