@@ -151,6 +151,83 @@ def convert_state_dict(state_dict, params, batch_stats=None, strict: bool = True
     return new_params, new_stats, report
 
 
+def _torch_conv_rank(torch_key: str) -> int:
+    """Spatial rank of the reference conv a ``...weight`` key belongs to, when the
+    key names a 1x1 conv: SharedMLP layers are Conv2d (pytorch_utils.py:28), the
+    Seq().conv1d stacks and the backbone's cov_final are Conv1d
+    (pytorch_utils.py:124-156, pointnet2_backbone.py:32). 0 = not a conv."""
+    if ".conv.weight" in torch_key:
+        return 2 if (".mlp." in torch_key or ".mlp_module." in torch_key) else 1
+    if torch_key.endswith("cov_final.weight"):
+        return 1
+    return 0
+
+
+def export_state_dict(params, batch_stats=None, template=None):
+    """Inverse of ``convert_state_dict``: flax (params, batch_stats) -> a reference
+    torch ``state_dict`` (name -> numpy array), so TPU-trained weights can be
+    validated / deployed inside the reference stack (VERDICT r3 item 5).
+
+    Layout rules invert ``_to_flax_layout``: Dense kernels (I, O) transpose back
+    to (O, I); 1x1 conv weights regain their spatial dims (Conv2d for SharedMLP
+    layers, Conv1d for the Seq().conv1d stacks / cov_final). ``template`` — an
+    existing reference ``state_dict`` (or name -> shape mapping) — overrides the
+    shape reconstruction and also supplies buffers this framework has no analog
+    for (``num_batches_tracked`` counters, ``cls_loss_func.pos_weight``), making
+    the result loadable with ``load_state_dict(strict=True)``.
+    """
+    import jax
+
+    shapes = {}
+    extras = {}
+    if template is not None:
+        for k, v in template.items():
+            arr = np.asarray(getattr(v, "numpy", lambda: v)())
+            shapes[k] = tuple(arr.shape)
+            if k in _IGNORED_TORCH_KEYS or k.endswith(_IGNORED_TORCH_SUFFIXES):
+                extras[k] = arr
+
+    out = dict(extras)
+
+    def emit(collection, tree):
+        if not tree:
+            return
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf in flat:
+            segs = [str(getattr(k, "key", k)) for k in path]
+            torch_key = _flax_to_torch_key(collection, segs)
+            t = np.asarray(leaf)
+            if segs[-1] == "kernel" and torch_key.endswith("weight") and t.ndim == 2:
+                t = t.T  # Dense (I, O) -> torch (O, I)
+            if torch_key in shapes:
+                t = t.reshape(shapes[torch_key])
+            else:
+                rank = _torch_conv_rank(torch_key)
+                if rank:
+                    t = t.reshape(t.shape + (1,) * rank)
+            out[torch_key] = t
+
+    emit("params", params)
+    emit("batch_stats", batch_stats)
+    if template is not None:
+        missing = sorted(set(shapes) - set(out))
+        if missing:
+            raise ValueError(f"export incomplete vs template: missing {missing}")
+    return out
+
+
+def save_torch_checkpoint(path, params, batch_stats=None, template=None, epoch=None):
+    """Write an exported state_dict as a reference-layout ``.pth``
+    ({'model_state': ..., 'epoch': ...}, train_utils.py:160-180)."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_state_dict(params, batch_stats, template).items()
+    }
+    torch.save({"model_state": sd, "epoch": epoch if epoch is not None else 0}, path)
+
+
 def load_torch_checkpoint(path, params, batch_stats=None, strict: bool = True):
     """Load a reference ``.pth`` checkpoint file (train_utils.py:160-180 layout:
     {'model_state': ..., 'epoch': ...} or a bare state_dict) and convert."""

@@ -346,3 +346,63 @@ def test_loss_parity(converted, rng):
     assert float(my_total_b) == pytest.approx(float(ref_total_b), rel=1e-4)
     assert float(my_tb_b["boxes_cls_loss"]) == pytest.approx(ref_tb_b["boxes_cls_loss"], rel=1e-4)
     assert float(my_tb_b["boxes_reg_loss"]) == pytest.approx(ref_tb_b["boxes_reg_loss"], rel=1e-4)
+
+
+# ----------------------------------------------------------- reverse exporter
+
+
+def test_reverse_export_values_roundtrip(converted):
+    """export_state_dict inverts convert_state_dict bit-exactly: exporting the
+    converted flax tree reproduces every (non-buffer) torch tensor, and loads
+    strict=True into a reference model (utils/torch_converter.py reverse path,
+    VERDICT r3 item 5)."""
+    import torch
+
+    from ptt_tpu.utils.torch_converter import convert_state_dict, export_state_dict
+
+    _, variables, torch_model = converted
+    template = torch_model.state_dict()
+    sd = export_state_dict(
+        variables["params"], variables["batch_stats"], template=template
+    )
+    assert set(sd) == set(template.keys())
+    for k, v in template.items():
+        np.testing.assert_array_equal(
+            np.asarray(sd[k]), v.numpy(), err_msg=k
+        )
+
+    # strict torch load of the exported dict (fresh, differently-seeded model)
+    model2, _ = load_reference_model(seed=123, cache_key="reverse-export")
+    model2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+
+    # and converting back lands on the identical flax tree
+    import jax
+
+    p2, bs2, report = convert_state_dict(
+        model2.state_dict(), variables["params"], variables["batch_stats"]
+    )
+    assert not report["missing"] and not report["unused"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["batch_stats"]),
+        jax.tree_util.tree_leaves(bs2),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reverse_export_heuristic_shapes(converted):
+    """Without a template the conv-rank rules must reconstruct the exact torch
+    shapes for every parameter/stat tensor (buffers excluded by design)."""
+    from ptt_tpu.utils.torch_converter import export_state_dict
+
+    _, variables, torch_model = converted
+    ref_sd = torch_model.state_dict()
+    sd = export_state_dict(variables["params"], variables["batch_stats"])
+    for k, v in sd.items():
+        assert tuple(ref_sd[k].shape) == tuple(v.shape), k
