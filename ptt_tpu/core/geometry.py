@@ -222,6 +222,33 @@ class Box:
             and np.allclose(self.orientation.elements, other.orientation.elements)
         )
 
+    def encode(self) -> list:
+        """Flatten to a 16-element list [center(3), wlh(3), quat(4), label,
+        score, velocity(3), name] (reference Box.encode,
+        kitti_tracking_utils.py:105-108)."""
+        return (
+            self.center.tolist()
+            + self.wlh.tolist()
+            + self.orientation.elements.tolist()
+            + [self.label, self.score]
+            + np.asarray(self.velocity, dtype=np.float64).tolist()
+            + [self.name]
+        )
+
+    @classmethod
+    def decode(cls, data) -> "Box":
+        """Inverse of :meth:`encode` (reference Box.decode,
+        kitti_tracking_utils.py:110-112)."""
+        return cls(
+            data[0:3],
+            data[3:6],
+            Quaternion(np.asarray(data[6:10], dtype=np.float64)),
+            label=data[10],
+            score=data[11],
+            velocity=np.asarray(data[12:15], dtype=np.float64),
+            name=data[15],
+        )
+
 
 # ---------------------------------------------------------------------------
 # Point transforms
@@ -303,6 +330,7 @@ def crop_center_pc(
     offset: float = 0.0,
     scale: float = 1.0,
     refine_box: bool = True,
+    normalize: bool = False,
 ):
     """Crop the search region around ``sample_box`` and express it in the box's
     canonical frame; with a GT box, also return per-point cls labels and the 4-dof
@@ -311,6 +339,9 @@ def crop_center_pc(
     Mirrors reference crop_center_pc (kitti_tracking_utils.py:300-339): a loose AABB
     pre-crop (offset*2, scale*4), rigid transform into the sample box frame, then a
     tight crop (with the reference's ``gt.wlh[1]*0.6`` extra slack on the train path).
+    ``normalize`` divides the canonical points axis-wise by the sample box's
+    (l, w, h) (reference PointCloud.normalize + the ``normalize=`` flag,
+    kitti_tracking_utils.py:63-65,337-338; off in every shipped config).
     """
     pts = crop_pc(points, sample_box, offset=2 * offset, scale=4 * scale)
     box = sample_box.copy()
@@ -340,10 +371,22 @@ def crop_center_pc(
             reg = np.array(
                 [gt_local.center[0], gt_local.center[1], gt_local.center[2], -sample_offsets[-1]]
             )
+        if normalize:
+            pts = normalize_points(pts, sample_box.wlh)
         return pts, label, reg
     else:
         pts = crop_pc(pts, box, offset=offset, scale=scale)
+        if normalize:
+            pts = normalize_points(pts, sample_box.wlh)
         return pts
+
+
+def normalize_points(points: np.ndarray, wlh) -> np.ndarray:
+    """Divide (N, 3) points axis-wise by the box extent reordered to the
+    canonical frame's (x=l, y=w, z=h) — reference PointCloud.normalize
+    (kitti_tracking_utils.py:63-65: normalizer = [wlh[1], wlh[0], wlh[2]])."""
+    wlh = np.asarray(wlh, dtype=np.float64).reshape(3)
+    return np.asarray(points, dtype=np.float64) / np.array([wlh[1], wlh[0], wlh[2]])
 
 
 def get_model(pcs, boxes, offset: float = 0.0, scale: float = 1.0):

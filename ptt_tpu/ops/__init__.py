@@ -13,7 +13,9 @@ from .point_ops import (
     gather_points,
     ball_query,
     group_points,
+    group_all,
     query_and_group,
+    uniform_resample_idx,
     knn,
     three_nn,
     three_interpolate,
@@ -31,7 +33,9 @@ __all__ = [
     "gather_points",
     "ball_query",
     "group_points",
+    "group_all",
     "query_and_group",
+    "uniform_resample_idx",
     "knn",
     "three_nn",
     "three_interpolate",

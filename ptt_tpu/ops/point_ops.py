@@ -186,6 +186,40 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
     return idx.astype(jnp.int32)
 
 
+def uniform_resample_idx(idx: jnp.ndarray, key) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-fill each ball-query row with a uniform resample of its UNIQUE members
+    (reference QueryAndGroup(sample_uniformly=True), pointnet2_utils.py:319-327).
+
+    ball_query pads short rows by repeating the first in-radius index, which biases
+    downstream averages toward that point; the reference variant instead places the
+    sorted unique indices first and fills the remaining slots uniformly at random
+    from them. The torch original is a per-region Python loop over torch.unique —
+    here it is one fixed-shape sort + masked compaction + vectorized randint, which
+    vmaps/jits over (B, M) regions at once.
+
+    Args:
+      idx: (B, M, ns) int32 from ball_query; key: jax PRNG key.
+    Returns:
+      (resampled idx (B, M, ns) int32, unique_cnt (B, M) float32).
+    """
+    ns = idx.shape[-1]
+    srt = jnp.sort(idx, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones_like(srt[..., :1], bool), srt[..., 1:] != srt[..., :-1]], axis=-1
+    )
+    cnt = first.sum(axis=-1)  # (B, M) unique members per region
+    # compact the sorted-unique values to the front: stable argsort on a rank that
+    # is the unique position for first-occurrences and ns (past the end) otherwise
+    rank = jnp.where(first, jnp.cumsum(first, axis=-1) - 1, ns)
+    order = jnp.argsort(rank, axis=-1, stable=True)
+    unique = jnp.take_along_axis(srt, order, axis=-1)  # first cnt entries valid
+    r = jax.random.randint(key, idx.shape, 0, cnt[..., None])
+    fill = jnp.take_along_axis(unique, r, axis=-1)
+    slots = lax.broadcasted_iota(jnp.int32, idx.shape, dimension=idx.ndim - 1)
+    out = jnp.where(slots < cnt[..., None], unique, fill)
+    return out.astype(jnp.int32), cnt.astype(jnp.float32)
+
+
 def query_and_group(
     radius: float,
     nsample: int,
@@ -194,15 +228,29 @@ def query_and_group(
     features: jnp.ndarray | None,
     use_xyz: bool = True,
     normalize_xyz: bool = False,
+    sample_uniformly: bool = False,
+    ret_unique_cnt: bool = False,
+    key=None,
 ):
     """Ball query + grouping (reference QueryAndGroup, pointnet2_utils.py:297-380).
 
     Args:
       xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None.
+      sample_uniformly: re-fill duplicate pad slots uniformly from each region's
+        unique members (pointnet2_utils.py:319-327); needs ``key``.
+      ret_unique_cnt: also return the per-region unique-member count (requires
+        sample_uniformly, like the reference's assert).
     Returns:
-      (grouped (B, M, nsample, 3+C or C or 3), grouped_xyz (B, M, nsample, 3), idx).
+      (grouped (B, M, nsample, 3+C or C or 3), grouped_xyz (B, M, nsample, 3), idx)
+      [+ unique_cnt (B, M) when ret_unique_cnt].
     """
+    if ret_unique_cnt:
+        assert sample_uniformly, "ret_unique_cnt requires sample_uniformly"
     idx = ball_query(radius, nsample, xyz, new_xyz)
+    unique_cnt = None
+    if sample_uniformly:
+        assert key is not None, "sample_uniformly needs a PRNG key"
+        idx, unique_cnt = uniform_resample_idx(idx, key)
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
@@ -216,7 +264,32 @@ def query_and_group(
     else:
         assert use_xyz, "cannot have neither features nor xyz"
         new_features = grouped_xyz
+    if ret_unique_cnt:
+        return new_features, grouped_xyz, idx, unique_cnt
     return new_features, grouped_xyz, idx
+
+
+def group_all(xyz: jnp.ndarray, features: jnp.ndarray | None, use_xyz: bool = True):
+    """Group the whole cloud into one region (reference GroupAll,
+    pointnet2_utils.py:383-429) — the SA-module degenerate used when npoint is
+    None. Channel-last: the reference's (B, 3+C, 1, N) is (B, 1, N, 3+C) here.
+
+    Args:
+      xyz: (B, N, 3); features: (B, N, C) or None.
+    Returns:
+      (grouped (B, 1, N, 3+C|C|3), grouped_xyz (B, 1, N, 3)) — grouped_xyz is
+      the RAW coordinates (the reference does not center on a query point).
+    """
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped_feats = features[:, None, :, :]
+        if use_xyz:
+            new_features = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        else:
+            new_features = grouped_feats
+    else:
+        new_features = grouped_xyz
+    return new_features, grouped_xyz
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

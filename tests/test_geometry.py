@@ -125,6 +125,34 @@ def test_crop_center_pc_canonicalizes():
     np.testing.assert_allclose(np.sort(out, axis=0), np.sort(local, axis=0), atol=1e-9)
 
 
+def test_box_encode_decode_roundtrip():
+    """16-element flat encoding (reference Box.encode/decode,
+    kitti_tracking_utils.py:105-112)."""
+    box = make_box(center=(1.0, -2.0, 0.5), wlh=(1.5, 3.5, 1.4), yaw=0.3)
+    box.label = 2
+    box.score = 0.75
+    box.velocity = np.array([0.1, -0.2, 0.0])
+    box.name = "Car"
+    data = box.encode()
+    assert len(data) == 16 and data[15] == "Car"
+    back = Box.decode(data)
+    assert back == box
+    assert back.label == 2 and back.score == 0.75 and back.name == "Car"
+    np.testing.assert_allclose(back.velocity, box.velocity)
+
+
+def test_crop_center_pc_normalize():
+    """normalize= divides canonical points axis-wise by (l, w, h) (reference
+    PointCloud.normalize, kitti_tracking_utils.py:63-65,337-338)."""
+    box = make_box(center=(5, 1, 0), wlh=(2.0, 4.0, 1.5), yaw=0.0)
+    rng = np.random.default_rng(1)
+    local = rng.uniform(-0.5, 0.5, size=(30, 3))
+    world = local + np.array([5, 1, 0])
+    plain = crop_center_pc(world, box, scale=1.25)
+    normed = crop_center_pc(world, box, scale=1.25, normalize=True)
+    np.testing.assert_allclose(normed, plain / np.array([4.0, 2.0, 1.5]), atol=1e-12)
+
+
 def test_crop_center_pc_train_labels():
     box = make_box(center=(4, 4, 0), wlh=(2, 4, 2))
     gt = make_box(center=(4.5, 4, 0), wlh=(2, 4, 2))

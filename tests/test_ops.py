@@ -175,6 +175,57 @@ def test_query_and_group_shapes_and_normalization(rng):
     np.testing.assert_array_equal(np.asarray(grouped[..., :3]), np.asarray(gxyz))
 
 
+def test_query_and_group_sample_uniformly(rng):
+    """sample_uniformly re-fills the duplicate pad slots from each region's
+    unique members (reference QueryAndGroup(sample_uniformly=True, ret_unique_cnt),
+    pointnet2_utils.py:310-339): every resampled index must be in-radius, the
+    unique count must match the true in-radius membership, and the unique
+    members must all be retained."""
+    xyz = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    centers = xyz[:, :16]
+    feats = rng.standard_normal((2, 64, 5)).astype(np.float32)
+    radius, ns = 0.8, 8
+    key = jax.random.PRNGKey(7)
+
+    plain_idx = np.asarray(ops.ball_query(radius, ns, jnp.array(xyz), jnp.array(centers)))
+    grouped, gxyz, idx, cnt = ops.query_and_group(
+        radius, ns, jnp.array(xyz), jnp.array(centers), jnp.array(feats),
+        sample_uniformly=True, ret_unique_cnt=True, key=key,
+    )
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    assert grouped.shape == (2, 16, ns, 8) and cnt.shape == (2, 16)
+    for b in range(2):
+        for m in range(16):
+            uniq_plain = set(plain_idx[b, m].tolist())
+            uniq_new = set(idx[b, m].tolist())
+            assert uniq_new == uniq_plain  # same membership, no invented indices
+            assert cnt[b, m] == len(uniq_plain)
+    # the grouped features are consistent with the resampled indices
+    want = feats[np.arange(2)[:, None, None], idx]
+    np.testing.assert_allclose(np.asarray(grouped[..., 3:]), want, rtol=1e-6)
+
+    # ret_unique_cnt without sample_uniformly mirrors the reference's assert
+    with pytest.raises(AssertionError):
+        ops.query_and_group(radius, ns, jnp.array(xyz), jnp.array(centers), None,
+                            ret_unique_cnt=True)
+
+
+def test_group_all(rng):
+    """GroupAll degenerate (reference pointnet2_utils.py:383-429): one region
+    holding the raw cloud, channel-last."""
+    xyz = rng.standard_normal((2, 32, 3)).astype(np.float32)
+    feats = rng.standard_normal((2, 32, 6)).astype(np.float32)
+    grouped, gxyz = ops.group_all(jnp.array(xyz), jnp.array(feats), use_xyz=True)
+    assert grouped.shape == (2, 1, 32, 9)
+    np.testing.assert_array_equal(np.asarray(gxyz)[:, 0], xyz)
+    np.testing.assert_array_equal(np.asarray(grouped)[..., :3][:, 0], xyz)
+    np.testing.assert_array_equal(np.asarray(grouped)[..., 3:][:, 0], feats)
+    only_feats, _ = ops.group_all(jnp.array(xyz), jnp.array(feats), use_xyz=False)
+    assert only_feats.shape == (2, 1, 32, 6)
+    only_xyz, _ = ops.group_all(jnp.array(xyz), None)
+    assert only_xyz.shape == (2, 1, 32, 3)
+
+
 def test_ops_are_jittable_on_batch():
     # everything compiles together under one jit with static shapes
     @jax.jit
