@@ -168,7 +168,6 @@ def make_device_tracker(
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
     _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
     _resample_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
-    _resample_long_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
     # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
     _crop_bt = jax.vmap(
@@ -246,7 +245,7 @@ def make_device_tracker(
                     allf, valid, boxes_hist, wlhs, model_offset, model_scale
                 )
                 mask_all = mask_all & (jnp.arange(T)[None, :, None] < t)
-                template, _ = _resample_long_b(
+                template, _ = _resample_b(
                     canon_all.reshape(B, T * N, 3),
                     mask_all.reshape(B, T * N),
                     template_size,
@@ -327,11 +326,28 @@ class DeviceTrackingEvaluator:
 
     def __init__(self, cfg, model, variables, max_points: int = 16384,
                  frame_bucket: int = 32, batch_size: int = 8, seed: int = 1,
-                 logger=None, quantize: bool = True):
+                 logger=None, quantize: bool = True, mesh=None, output_dir=None):
         from .metrics import Evaluator
 
         self.cfg = cfg
         self.variables = variables
+        # multi-chip inference: tracklets are embarrassingly parallel, so the
+        # dispatch batch shards over the mesh's data axis and the fused Pallas
+        # kernels shard_map over the same axis (ops/mesh_ctx.py)
+        self.mesh = mesh
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..ops import mesh_ctx
+
+            if batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the {mesh.size}-device mesh"
+                )
+            mesh_ctx.set_mesh(mesh)
+            self._shard = NamedSharding(mesh, P("data"))
+            self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.max_points = int(max_points)
         self.frame_bucket = int(frame_bucket)
         self.batch_size = int(batch_size)
@@ -355,6 +371,38 @@ class DeviceTrackingEvaluator:
             self._native = None
         if str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")).lower() != "lidar":
             self._native = None  # C++ scorer implements the lidar BEV footprint
+
+        self._pcd_dir = None
+        self._fp = None
+        self._tracklet_num = 0
+        self.set_output_dir(output_dir)
+
+    def set_output_dir(self, output_dir):
+        """(Re)bind the on-disk result dumps to ``output_dir`` — the same output
+        tree the host evaluator writes (reference eval_tracking_utils.py):
+        ``final_result/data/track_result.txt`` with one
+        ``scene frame tracklet corners(24)`` line per frame, and (TEST.SAVE_PCD,
+        reference :282-299) per-frame candidate clouds under ``pcd/``. The
+        in-scan candidate clouds never leave the device, so the pcd dump
+        recomputes the canonical crop + resample on host from the same
+        crop-reference boxes the scan used (the predicted trajectory).
+        Called again by --eval_all when the cached evaluator is reused for a new
+        epoch's result dir."""
+        from pathlib import Path
+
+        if self._fp is not None:
+            self._fp.close()
+            self._fp = None
+        self._pcd_dir = None
+        self._tracklet_num = 0
+        if output_dir is None:
+            return
+        final_dir = Path(output_dir) / "final_result" / "data"
+        final_dir.mkdir(parents=True, exist_ok=True)
+        self._fp = open(final_dir / "track_result.txt", "w")
+        if bool(self.cfg.TEST.get("SAVE_PCD", False)):
+            self._pcd_dir = Path(output_dir) / "pcd"
+            self._pcd_dir.mkdir(parents=True, exist_ok=True)
 
     @staticmethod
     def box_to_vec(box) -> np.ndarray:
@@ -426,6 +474,14 @@ class DeviceTrackingEvaluator:
                 gt_arr[b, len(boxes):] = vecs[-1]  # pad frames reuse the last GT
         keys = jax.random.split(jax.random.PRNGKey(self.seed), B)
 
+        if self._shard is not None:
+            pcs_arr, counts, init_boxes, wlhs, keys = (
+                jax.device_put(x, self._shard)
+                for x in (pcs_arr, counts, init_boxes, wlhs, keys)
+            )
+            if gt_arr is not None:
+                gt_arr = jax.device_put(gt_arr, self._shard)
+
         if gt_arr is None:
             boxes_dev, scores_dev = self.track_fn(
                 self.variables, pcs_arr, counts, init_boxes, wlhs, keys
@@ -451,10 +507,43 @@ class DeviceTrackingEvaluator:
             results.extend(self.finish_batch(self.dispatch_batch(chunk)))
         return results
 
+    def _save_pcds(self, pcs, gt_boxes, results, annos):
+        """Per-frame candidate-cloud dumps (TEST.SAVE_PCD). Recomputes the
+        canonical crop+resample on host from the crop-reference boxes, then
+        rotates/translates back to world — the reference's save_pts_pcd
+        semantics with the device loop's predicted trajectory."""
+        from ..utils.file_io import save_pts_as_pcd
+
+        data_cfg, test_cfg = self.cfg.DATA_CONFIG, self.cfg.TEST
+        ref_mode = str(test_cfg.get("REF_BOX", "previous_result")).upper()
+        offset = float(data_cfg.get("SEARCH_BB_OFFSET", 0.0))
+        scale = float(data_cfg.get("SEARCH_BB_SCALE", 1.25))
+        for t in range(1, len(pcs)):
+            if "PREVIOUS_RESULT" in ref_mode:
+                ref_box = results[t - 1]
+            elif "PREVIOUS_GT" in ref_mode:
+                ref_box = gt_boxes[t - 1]
+            else:
+                ref_box = gt_boxes[t]
+            crop = geo.crop_center_pc(
+                np.asarray(pcs[t], np.float32), ref_box, offset=offset, scale=scale
+            )
+            crop = geo.regularize_pc(
+                crop, int(data_cfg["SEARCH_INPUT_SIZE"]), istrain=False
+            )
+            world = crop @ ref_box.rotation_matrix.T + ref_box.center
+            anno = annos[t] if annos is not None and t < len(annos) else {}
+            scene = anno.get("scene", anno.get("scene_num", 0))
+            track = anno.get("track_id", 0)
+            frame = anno.get("frame", anno.get("frame_num", t))
+            save_pts_as_pcd(
+                world, self._pcd_dir, name=f"{scene}_{track}_candidatePC_{frame}.pcd"
+            )
+
     def _score(self, boxes_out, wlhs, tracklets):
 
         all_results = []
-        for b, (pcs, gt_boxes, _) in enumerate(tracklets):
+        for b, (pcs, gt_boxes, annos) in enumerate(tracklets):
             T = len(pcs)
             results = [
                 geo.Box(
@@ -496,6 +585,20 @@ class DeviceTrackingEvaluator:
                 else:
                     for t in range(T):
                         self.evaluator.update_iou(gt_boxes[t], results[t])
+            if self._pcd_dir is not None:
+                self._save_pcds(pcs, gt_boxes, results, annos)
+            if self._fp is not None:
+                for t in range(T):
+                    anno = annos[t] if annos is not None and t < len(annos) else {}
+                    info = [
+                        anno.get("scene", anno.get("scene_num", -1)),
+                        anno.get("frame", anno.get("frame_num", t)),
+                        self._tracklet_num,
+                    ]
+                    flat = np.concatenate(results[t].corners().T, axis=0).tolist()
+                    self._fp.write(" ".join(map(str, info + flat)) + "\n")
+                self._fp.flush()
+            self._tracklet_num += 1
             all_results.append(results)
         return all_results
 
@@ -509,7 +612,7 @@ class DeviceTrackingEvaluator:
 
 def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logger=None,
                           max_points: int = 16384, batch_size: int = 8,
-                          _evaluator_cache: dict = None):
+                          result_dir=None, _evaluator_cache: dict = None):
     """Device-loop twin of eval_one_epoch: groups test tracklets into device batches.
     Returns (success, precision, frames_per_second).
 
@@ -525,9 +628,11 @@ def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logge
         ev = _evaluator_cache["ev"]
         ev.variables = variables
         ev.evaluator = Evaluator(ref_coord=str(cfg.DATA_CONFIG.get("REF_COOR", "lidar")))
+        ev.set_output_dir(result_dir)  # --eval_all: each epoch's own result tree
     else:
         ev = DeviceTrackingEvaluator(
-            cfg, model, variables, max_points=max_points, batch_size=batch_size, logger=logger
+            cfg, model, variables, max_points=max_points, batch_size=batch_size,
+            logger=logger, output_dir=result_dir,
         )
         if _evaluator_cache is not None:
             _evaluator_cache["ev"] = ev

@@ -79,6 +79,14 @@ class TrackingEvaluator:
             output_dir.mkdir(parents=True, exist_ok=True)
             self._fp = open(output_dir / "track_result.txt", "w")
 
+        # TEST.SAVE_PCD: per-frame candidate-cloud dumps in the world frame
+        # (reference save_pts_pcd, eval_tracking_utils.py:282-299; it writes to a
+        # hardcoded ../output/pcd — here they land under the run's output dir)
+        self._pcd_dir = None
+        if bool(self.test_cfg.get("SAVE_PCD", False)) and output_dir is not None:
+            self._pcd_dir = Path(output_dir).parent.parent / "pcd"
+            self._pcd_dir.mkdir(parents=True, exist_ok=True)
+
     # ------------------------------------------------------------- host preprocessing
 
     def _prepare_search(self, this_pc, this_box, results, gt_boxes, frame_id):
@@ -154,6 +162,8 @@ class TrackingEvaluator:
                         box = geo.get_box_by_offset(
                             ref_box, offset4, bool(self.data_cfg.get("USE_Z_AXIS", False))
                         )
+                    if self._pcd_dir is not None:
+                        self._save_pcd(search, ref_box, annos[i] if annos else {}, i)
                     results.append(box)
                     self.frame_time.update(time.perf_counter() - t0)
 
@@ -163,6 +173,21 @@ class TrackingEvaluator:
                 if progress_cb is not None:
                     progress_cb(self)
         return results
+
+    def _save_pcd(self, search, ref_box, anno, frame_id):
+        """Dump the (resampled, canonical-frame) candidate cloud rotated/translated
+        back to the world frame by the crop's reference box — the reference's
+        save_pts_pcd semantics (eval_tracking_utils.py:282-299: candidate_PC is
+        canonical; pc.rotate(ref.rotation_matrix); pc.translate(ref.center))."""
+        from ..utils.file_io import save_pts_as_pcd
+
+        world = search @ ref_box.rotation_matrix.T + ref_box.center
+        scene = anno.get("scene", anno.get("scene_num", self.batch_num))
+        track = anno.get("track_id", 0)
+        frame = anno.get("frame", anno.get("frame_num", frame_id))
+        save_pts_as_pcd(
+            world, self._pcd_dir, name=f"{scene}_{track}_candidatePC_{frame}.pcd"
+        )
 
     def _save_result(self, anno, box):
         if self._fp is None:
@@ -195,6 +220,8 @@ def eval_one_epoch(cfg, model, variables, dataloader, epoch_id="?", logger=None,
     eval_tracking_utils.py:16-51). Returns (success, precision)."""
     emit = logger.info if logger is not None else print
     emit(f"*************** EPOCH {epoch_id} EVALUATION *****************")
+    # per-epoch timer table, not cumulative across --eval_all epochs
+    timer.reset()
     final_dir = Path(result_dir) / "final_result" / "data" if result_dir else None
 
     ev = TrackingEvaluator(

@@ -60,13 +60,6 @@ def parse_config():
     return args, cfg
 
 
-def _device_loop_supported(cfg):
-    # every TEST config runs on device now: all three REF_BOX modes plus all four
-    # SHAPE_AGGREGATION modes including 'all' (box-history carry in the scan);
-    # --host_loop remains for reference-exact-RNG parity runs
-    return True
-
-
 def init_variables(model, cfg):
     import jax
     import jax.numpy as jnp
@@ -94,12 +87,14 @@ def eval_single_ckpt(args, cfg, model, loader, ckpt_path, logger, result_dir, ep
     else:
         logger.info("no --ckpt given: evaluating a randomly initialized network")
 
-    use_device = not args.host_loop and _device_loop_supported(cfg)
-    if use_device:
+    # every TEST config runs on device: all three REF_BOX modes plus all four
+    # SHAPE_AGGREGATION modes including 'all' (box-history carry in the scan);
+    # --host_loop remains for reference-exact-RNG parity runs
+    if not args.host_loop:
         succ, prec, fps = eval_one_epoch_device(
             cfg, model, variables, loader, epoch_id=epoch_tag, logger=logger,
             max_points=args.max_points, batch_size=args.batch_size,
-            _evaluator_cache=_evaluator_cache,
+            result_dir=result_dir, _evaluator_cache=_evaluator_cache,
         )
     else:
         succ, prec = eval_one_epoch(

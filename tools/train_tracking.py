@@ -114,9 +114,13 @@ def main():
     eval_fn = None
     with_eval = cfg.get("TRAIN", {}).get("WITH_EVAL", {})
     if with_eval.get("ENABLE", False):
+        # shard the test tracklets across processes like tools/test_tracking.py
+        # (metrics merge globally in eval_one_epoch_device); without this every
+        # process would evaluate — and the merge would count — the full test set
         _, test_loader = build_dataloader(
-            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1,
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=max(1, num_processes),
             workers=args.workers, logger=logger, training=False, seed=args.seed,
+            num_shards=num_processes, shard_id=process_index,
         )
         start_ep = int(with_eval.get("START_EPOCH", 0))
         interval = int(with_eval.get("INTERVAL", 1))
