@@ -57,14 +57,18 @@ def merge_metric_lists(values) -> np.ndarray:
     one flat array on every host — the reference's merge_results_dist
     (common_utils.py:309-330) without the pickle tmpdir + barrier.
 
-    Pads to the max length with NaN for the fixed-shape all_gather, then drops the
-    padding after the exchange.
+    Pads to the max length for the fixed-shape all_gather, then slices each
+    gathered row back to its true per-host length (gathered alongside) — a NaN
+    metric value from a host (e.g. a degenerate-box IoU) survives the merge
+    instead of being dropped with the padding.
     """
     values = np.asarray(list(values), np.float64)
     n = np.int64(values.shape[0])
-    max_n = int(all_gather_array(np.asarray(n)).max())
-    padded = np.full(max_n, np.nan)
+    lengths = all_gather_array(np.asarray(n))  # (world,)
+    max_n = int(lengths.max()) if lengths.size else 0
+    padded = np.zeros(max_n)
     padded[: len(values)] = values
     gathered = all_gather_array(padded)  # (world, max_n)
-    out = gathered[~np.isnan(gathered)]
-    return out
+    return np.concatenate(
+        [row[: int(k)] for row, k in zip(gathered, np.atleast_1d(lengths))]
+    ) if max_n else values
