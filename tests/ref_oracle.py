@@ -52,9 +52,12 @@ def _install_functional_ext(ext):
         return torch.from_numpy(np.ascontiguousarray(idx)).int()
 
     def gather_points(features, idx):
+        # .clone(): these run inside the reference's custom autograd Functions,
+        # whose outputs get modified in place (pointnet2_utils.py:352) — torch
+        # forbids that on view outputs of a custom Function under autograd
         b, c, _ = features.shape
         ii = idx.long().unsqueeze(1).expand(b, c, idx.shape[1])
-        return torch.gather(features, 2, ii).contiguous()
+        return torch.gather(features, 2, ii).clone()
 
     def ball_query(new_xyz, xyz, radius, nsample):
         idx = native.ball_query(
@@ -66,13 +69,29 @@ def _install_functional_ext(ext):
         b, c, _ = features.shape
         npnt, ns = idx.shape[1], idx.shape[2]
         flat = idx.long().reshape(b, 1, npnt * ns).expand(b, c, npnt * ns)
-        return torch.gather(features, 2, flat).reshape(b, c, npnt, ns).contiguous()
+        return torch.gather(features, 2, flat).reshape(b, c, npnt, ns).clone()
+
+    def gather_points_grad(grad_out, idx, N):
+        # scatter-add (duplicate indices accumulate) — the CUDA kernel's exact
+        # semantics and what ops.gather_points' custom vjp does
+        b, c, npnt = grad_out.shape
+        grad = torch.zeros(b, c, N, dtype=grad_out.dtype)
+        ii = idx.long().unsqueeze(1).expand(b, c, npnt)
+        return grad.scatter_add_(2, ii, grad_out)
+
+    def group_points_grad(grad_out, idx, N):
+        b, c, npnt, ns = grad_out.shape
+        grad = torch.zeros(b, c, N, dtype=grad_out.dtype)
+        flat = idx.long().reshape(b, 1, npnt * ns).expand(b, c, npnt * ns)
+        return grad.scatter_add_(2, flat, grad_out.reshape(b, c, npnt * ns))
 
     ext.furthest_point_sampling = furthest_point_sampling
     ext.furthest_point_sampling_with_dist = furthest_point_sampling_with_dist
     ext.gather_points = gather_points
+    ext.gather_points_grad = gather_points_grad
     ext.ball_query = ball_query
     ext.group_points = group_points
+    ext.group_points_grad = group_points_grad
     ext._ptt_functional = True
 
 
