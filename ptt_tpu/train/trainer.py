@@ -74,11 +74,17 @@ class Trainer:
         self.state = create_train_state(
             model, tx, sample_batch, rng=jax.random.PRNGKey(seed)
         )
+        # bf16 fwd/bwd with f32 master weights is the trainer default since
+        # round 4 (measured ~10% step win, loss parity to bf16 resolution, and
+        # the fused kernel keeps neighbor selection at HIGHEST precision —
+        # docs/PERFORMANCE.md). Reference-numerics parity runs opt out with
+        # OPTIMIZATION.MIXED_PRECISION: False; make_train_step's own default
+        # stays f32 for the oracle-parity tests.
         self.train_step = make_sharded_train_step(
             model_cfg,
             self.mesh,
             with_bn_momentum=bool(self.bn_sched_cfg),
-            mixed_precision=bool(optim_cfg.get("MIXED_PRECISION", False)),
+            mixed_precision=bool(optim_cfg.get("MIXED_PRECISION", True)),
         )
         self.ckpt = CheckpointManager(
             str(output_dir) + "/ckpt", max_to_keep=max_ckpt_save_num
