@@ -43,17 +43,20 @@ class CosineSimAug(nn.Module):
             preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
         )  # (B, n1, n2)
 
-        fused = jnp.concatenate(
-            [
-                sim[..., None],  # (B, n1, n2, 1)
-                jnp.broadcast_to(template_xyz[:, :, None, :], (B, n1, n2, 3)),
-                jnp.broadcast_to(template_feats[:, :, None, :], (B, n1, n2, C)),
-            ],
-            axis=-1,
-        )  # (B, n1, n2, 260)
+        # Layer 0 of the pairwise MLP is linear over [sim | xyz_i | feats_i], and
+        # only the 1-channel sim term varies with the search index j — so instead
+        # of materializing the (B, n1, n2, 260) concat and matmuling it (the
+        # reference's path, p2b_xcoor.py:36-44), split the layer-0 kernel: the
+        # (xyz|feats) rows project once per template seed ((B, n1, C1), a 260x
+        # smaller matmul), and the sim row is a broadcast outer product. Exact
+        # same function, ~99% fewer layer-0 FLOPs, no 260-wide pairwise tensor
+        # in HBM; BN/ReLU and all later layers see identical activations.
+        def first_linear(kernel):  # (1+3+C, C1) = Dense_0's kernel
+            proj_t = jnp.concatenate([template_xyz, template_feats], axis=-1) @ kernel[1:]
+            return sim[..., None] * kernel[0] + proj_t[:, :, None, :]
 
         fused = SharedMLP(self.model_cfg["MLP"]["CHANNELS"], bn=self.model_cfg["MLP"]["BN"])(
-            fused, train=train
+            None, train=train, first_linear_apply=first_linear
         )
         fused = jnp.max(fused, axis=1)  # max-pool over the template axis -> (B, n2, C')
         fused = ConvStack(self.model_cfg["CONV"]["CHANNELS"], bn=self.model_cfg["CONV"]["BN"])(
