@@ -40,6 +40,7 @@ def main():
 
     import bench
 
+    bench.check_tpu_reachable()
     cache_dir = bench.setup_cache()
     before = set(os.listdir(cache_dir))
 
