@@ -29,6 +29,36 @@ def test_merge_metric_lists(rng):
     np.testing.assert_allclose(out, vals)
 
 
+def test_merge_metric_lists_preserves_nan_and_lengths(monkeypatch):
+    """A genuine NaN metric (e.g. a degenerate-box IoU) must survive the merge,
+    and ragged per-host lists must slice back to their true lengths — the old
+    NaN-padding sentinel dropped both (ADVICE r3). Simulates a 3-host gather by
+    stubbing all_gather_array."""
+    from ptt_tpu.utils import dist as d
+
+    host_lists = [[0.5, np.nan], [1.0], [0.25, 0.75, np.nan]]
+    calls = {"n": 0}
+
+    def fake_gather(x):
+        x = np.asarray(x)
+        if x.ndim == 0:  # the lengths gather
+            return np.asarray([len(h) for h in host_lists], np.int64)
+        calls["n"] += 1
+        out = np.zeros((3, x.shape[0]))
+        for i, h in enumerate(host_lists):
+            out[i, : len(h)] = h
+        return out
+
+    monkeypatch.setattr(d, "all_gather_array", fake_gather)
+    merged = d.merge_metric_lists(host_lists[0])
+    assert calls["n"] == 1
+    flat = [v for h in host_lists for v in h]
+    assert merged.shape == (len(flat),)
+    np.testing.assert_array_equal(np.isnan(merged), np.isnan(flat))
+    np.testing.assert_allclose(merged[~np.isnan(merged)],
+                               np.asarray(flat)[~np.isnan(np.asarray(flat))])
+
+
 def test_two_process_distributed_train_step():
     """Spawn 2 jax.distributed-initialized CPU processes (2 virtual devices each)
     and run sharded train steps over the 4-device global mesh — exercises the
