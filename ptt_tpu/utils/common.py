@@ -15,6 +15,27 @@ from collections import deque
 import numpy as np
 
 
+def apply_platform_env():
+    """Re-assert the ``JAX_PLATFORMS`` env contract before first backend use.
+
+    Some session images register a PJRT plugin from sitecustomize that
+    force-selects its own platform at import time, silently overriding the
+    documented env var — a subprocess launched with ``JAX_PLATFORMS=cpu`` then
+    still initializes the accelerator backend (and hangs forever if that
+    backend's tunnel is down). Called at CLI entry; a no-op when the var is
+    unset or already in effect."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover - backend already initialized
+            pass
+
+
 def create_logger(log_file=None, rank: int = 0, log_level=logging.INFO):
     """Console+file logger; non-zero ranks only log errors (reference :223-236)."""
     logger = logging.getLogger(f"ptt_tpu.rank{rank}.{log_file}")

@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
+    from ptt_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)

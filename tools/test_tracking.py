@@ -150,6 +150,12 @@ def repeat_eval_ckpt(args, cfg, model, loader, ckpt_dir, logger, result_dir,
 def main():
     args, _ = parse_config()
 
+    # honor an explicit JAX_PLATFORMS before the first backend touch (the
+    # session sitecustomize force-selects its own platform otherwise)
+    from ptt_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+
     if args.launcher == "jax":
         import jax
 

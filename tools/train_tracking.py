@@ -60,6 +60,12 @@ def parse_config():
 def main():
     args, _ = parse_config()
 
+    # honor an explicit JAX_PLATFORMS before the first backend touch (the
+    # session sitecustomize force-selects its own platform otherwise)
+    from ptt_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+
     if args.launcher == "jax":
         import jax
 
