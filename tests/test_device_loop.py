@@ -358,3 +358,40 @@ def test_device_tracker_survives_empty_frames(synth_cfg_loader):
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     boxes, scores = fn({}, pcs, counts, init, wlhs, keys)
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_evaluator_mesh_mode_matches_single_device(synth_cfg_loader):
+    """DeviceTrackingEvaluator(mesh=...) — the round-4 multi-chip inference
+    plumbing: dispatch batches shard over the mesh's data axis, variables
+    replicate, the fused-kernel mesh context installs, and the trajectories
+    match the meshless evaluator."""
+    from ptt_tpu.ops import mesh_ctx
+    from ptt_tpu.parallel import make_data_mesh
+
+    cfg, loader = synth_cfg_loader
+    tracklets = [trk for batch in loader for trk in batch]
+
+    plain = DeviceTrackingEvaluator(
+        cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=2
+    )
+    plain_results = plain.track_batch(tracklets)
+
+    mesh = make_data_mesh()
+    try:
+        with pytest.raises(ValueError, match="divide"):
+            DeviceTrackingEvaluator(
+                cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=6, mesh=mesh
+            )
+        ev = DeviceTrackingEvaluator(
+            cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=8, mesh=mesh
+        )
+        assert mesh_ctx.get_mesh()[0] is mesh  # fused-kernel context installed
+        mesh_results = ev.track_batch(tracklets)  # 2 tracklets pad up to 8
+    finally:
+        mesh_ctx.set_mesh(None)
+
+    assert len(mesh_results) == len(plain_results) == len(tracklets)
+    for p_trk, m_trk in zip(plain_results, mesh_results):
+        assert len(p_trk) == len(m_trk)
+        for pb, mb in zip(p_trk, m_trk):
+            np.testing.assert_allclose(pb.center, mb.center, atol=1e-4)
