@@ -203,3 +203,62 @@ def test_per_module_cost_analysis(kitti_cfg, model_and_vars):
 
     table = format_cost_table(rows)
     assert "backbone_3d" in table and "TOTAL" in table
+
+
+def test_similarity_layer0_decomposition_matches_naive(kitti_cfg, rng):
+    """The similarity module's decomposed first MLP layer (outer-product sim term
+    + once-per-template projection, nn/similarity.py round 4) must equal the
+    naive path: materialize the (B, n1, n2, 260) concat and matmul it with the
+    SAME Dense_0 kernel. Pins the refactor independently of the torch oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from ptt_tpu.nn.similarity import CosineSimAug
+
+    B, n1, n2, C = 2, 8, 16, 256
+    mod = CosineSimAug(kitti_cfg.MODEL["SIMILARITY_MODULE"])
+    batch = {
+        "search_feats": jnp.asarray(rng.standard_normal((B, n2, C)), jnp.float32),
+        "template_feats": jnp.asarray(rng.standard_normal((B, n1, C)), jnp.float32),
+        "template_seeds": jnp.asarray(rng.standard_normal((B, n1, 3)), jnp.float32),
+    }
+    variables = mod.init(jax.random.PRNGKey(0), batch, train=False)
+    out = mod.apply(variables, batch, train=False)["cosine_feats"]
+
+    # naive reference with the same parameters
+    p_mlp = variables["params"]["SharedMLP_0"]
+    t = batch["template_feats"]
+    s = batch["search_feats"]
+    tn = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+    sn = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-8)
+    sim = jnp.einsum("bic,bjc->bij", tn, sn,
+                     precision=jax.lax.Precision.HIGHEST)
+    fused = jnp.concatenate(
+        [
+            sim[..., None],
+            jnp.broadcast_to(batch["template_seeds"][:, :, None, :], (B, n1, n2, 3)),
+            jnp.broadcast_to(t[:, :, None, :], (B, n1, n2, C)),
+        ],
+        axis=-1,
+    )
+    x = fused @ p_mlp["Dense_0"]["kernel"]
+    for i in range(3):
+        if i:
+            x = x @ p_mlp[f"Dense_{i}"]["kernel"]
+        bn = variables["batch_stats"]["SharedMLP_0"][f"BatchNorm_{i}"]
+        sc = p_mlp[f"BatchNorm_{i}"]
+        x = (x - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-5) * sc["scale"] + sc["bias"]
+        x = jnp.maximum(x, 0.0)
+    x = jnp.max(x, axis=1)
+
+    # push the naive MLP output through the module's own ConvStack params
+    from ptt_tpu.nn.layers import ConvStack
+
+    conv = ConvStack(kitti_cfg.MODEL["SIMILARITY_MODULE"]["CONV"]["CHANNELS"],
+                     bn=kitti_cfg.MODEL["SIMILARITY_MODULE"]["CONV"]["BN"])
+    naive = conv.apply(
+        {"params": variables["params"]["ConvStack_0"],
+         "batch_stats": variables["batch_stats"]["ConvStack_0"]},
+        x, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive), atol=2e-4)
