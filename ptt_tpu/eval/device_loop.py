@@ -339,13 +339,10 @@ class DeviceTrackingEvaluator:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..ops import mesh_ctx
-
             if batch_size % mesh.size:
                 raise ValueError(
                     f"batch_size {batch_size} must divide over the {mesh.size}-device mesh"
                 )
-            mesh_ctx.set_mesh(mesh)
             self._shard = NamedSharding(mesh, P("data"))
             self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.max_points = int(max_points)
@@ -397,9 +394,11 @@ class DeviceTrackingEvaluator:
         self._tracklet_num = 0
         if output_dir is None:
             return
+        from .evaluator import result_file_name
+
         final_dir = Path(output_dir) / "final_result" / "data"
         final_dir.mkdir(parents=True, exist_ok=True)
-        self._fp = open(final_dir / "track_result.txt", "w")
+        self._fp = open(final_dir / result_file_name(), "w")
         if bool(self.cfg.TEST.get("SAVE_PCD", False)):
             self._pcd_dir = Path(output_dir) / "pcd"
             self._pcd_dir.mkdir(parents=True, exist_ok=True)
@@ -482,14 +481,22 @@ class DeviceTrackingEvaluator:
             if gt_arr is not None:
                 gt_arr = jax.device_put(gt_arr, self._shard)
 
-        if gt_arr is None:
-            boxes_dev, scores_dev = self.track_fn(
-                self.variables, pcs_arr, counts, init_boxes, wlhs, keys
-            )
-        else:
-            boxes_dev, scores_dev = self.track_fn(
-                self.variables, pcs_arr, counts, init_boxes, wlhs, keys, gt_arr
-            )
+        # Scope the fused-kernel mesh context to this dispatch: the evaluator's
+        # OWN mesh (or None) governs the trace, not whatever a training step
+        # leaked into the process-global context — a meshless evaluator on a
+        # multi-device backend must keep the round-3 jnp-fallback behavior
+        # (its batch_size need not divide a leaked train mesh).
+        from ..ops import mesh_ctx
+
+        with mesh_ctx.use_mesh(self.mesh):
+            if gt_arr is None:
+                boxes_dev, scores_dev = self.track_fn(
+                    self.variables, pcs_arr, counts, init_boxes, wlhs, keys
+                )
+            else:
+                boxes_dev, scores_dev = self.track_fn(
+                    self.variables, pcs_arr, counts, init_boxes, wlhs, keys, gt_arr
+                )
         return (boxes_dev, wlhs, tracklets)
 
     def finish_batch(self, handle):
@@ -512,7 +519,7 @@ class DeviceTrackingEvaluator:
         canonical crop+resample on host from the crop-reference boxes, then
         rotates/translates back to world — the reference's save_pts_pcd
         semantics with the device loop's predicted trajectory."""
-        from ..utils.file_io import save_pts_as_pcd
+        from .evaluator import save_candidate_pcd
 
         data_cfg, test_cfg = self.cfg.DATA_CONFIG, self.cfg.TEST
         ref_mode = str(test_cfg.get("REF_BOX", "previous_result")).upper()
@@ -531,13 +538,10 @@ class DeviceTrackingEvaluator:
             crop = geo.regularize_pc(
                 crop, int(data_cfg["SEARCH_INPUT_SIZE"]), istrain=False
             )
-            world = crop @ ref_box.rotation_matrix.T + ref_box.center
             anno = annos[t] if annos is not None and t < len(annos) else {}
-            scene = anno.get("scene", anno.get("scene_num", 0))
-            track = anno.get("track_id", 0)
-            frame = anno.get("frame", anno.get("frame_num", t))
-            save_pts_as_pcd(
-                world, self._pcd_dir, name=f"{scene}_{track}_candidatePC_{frame}.pcd"
+            save_candidate_pcd(
+                self._pcd_dir, crop, ref_box, anno,
+                default_scene=self._tracklet_num, default_frame=t,
             )
 
     def _score(self, boxes_out, wlhs, tracklets):
@@ -585,20 +589,26 @@ class DeviceTrackingEvaluator:
                 else:
                     for t in range(T):
                         self.evaluator.update_iou(gt_boxes[t], results[t])
+            # 1-based tracklet ids, incremented BEFORE writing — same convention
+            # as the host evaluator's batch_num (evaluator.py), so the two
+            # loops' track_result files are row-compatible
+            self._tracklet_num += 1
             if self._pcd_dir is not None:
                 self._save_pcds(pcs, gt_boxes, results, annos)
             if self._fp is not None:
+                from .evaluator import anno_scene_frame
+
                 for t in range(T):
                     anno = annos[t] if annos is not None and t < len(annos) else {}
-                    info = [
-                        anno.get("scene", anno.get("scene_num", -1)),
-                        anno.get("frame", anno.get("frame_num", t)),
-                        self._tracklet_num,
-                    ]
+                    scene, _, frame = anno_scene_frame(
+                        anno, default_scene=-1, default_frame=t
+                    )
                     flat = np.concatenate(results[t].corners().T, axis=0).tolist()
-                    self._fp.write(" ".join(map(str, info + flat)) + "\n")
+                    self._fp.write(
+                        " ".join(map(str, [scene, frame, self._tracklet_num] + flat))
+                        + "\n"
+                    )
                 self._fp.flush()
-            self._tracklet_num += 1
             all_results.append(results)
         return all_results
 

@@ -28,6 +28,39 @@ from ..utils.common import AverageMeter
 from .metrics import Evaluator
 
 
+def result_file_name(process_index=None, process_count=None) -> str:
+    """``track_result.txt``, rank-suffixed under multi-process eval: test
+    tracklets shard per process (tools/test_tracking.py), so a shared mode-'w'
+    file would have every rank truncating and interleaving into the same path."""
+    n = jax.process_count() if process_count is None else process_count
+    if n == 1:
+        return "track_result.txt"
+    i = jax.process_index() if process_index is None else process_index
+    return f"track_result.rank{i}.txt"
+
+
+def anno_scene_frame(anno, default_scene, default_frame):
+    """(scene, track_id, frame) from a dataset anno dict — the one fallback
+    chain both evaluators use for result lines and pcd names."""
+    scene = anno.get("scene", anno.get("scene_num", default_scene))
+    track = anno.get("track_id", 0)
+    frame = anno.get("frame", anno.get("frame_num", default_frame))
+    return scene, track, frame
+
+
+def save_candidate_pcd(pcd_dir, points_canonical, ref_box, anno,
+                       default_scene, default_frame):
+    """TEST.SAVE_PCD dump shared by both evaluators: the canonical candidate
+    cloud rotated/translated back to the world frame by the crop's reference box
+    (reference save_pts_pcd, eval_tracking_utils.py:282-299: candidate_PC is
+    canonical; pc.rotate(ref.rotation_matrix); pc.translate(ref.center))."""
+    from ..utils.file_io import save_pts_as_pcd
+
+    world = points_canonical @ ref_box.rotation_matrix.T + ref_box.center
+    scene, track, frame = anno_scene_frame(anno, default_scene, default_frame)
+    save_pts_as_pcd(world, pcd_dir, name=f"{scene}_{track}_candidatePC_{frame}.pcd")
+
+
 def make_track_step(model):
     """Jitted single-frame inference: apply the network and reduce to the best
     proposal on device. Returns (box_offset[4], score) as device scalars."""
@@ -77,7 +110,7 @@ class TrackingEvaluator:
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
-            self._fp = open(output_dir / "track_result.txt", "w")
+            self._fp = open(output_dir / result_file_name(), "w")
 
         # TEST.SAVE_PCD: per-frame candidate-cloud dumps in the world frame
         # (reference save_pts_pcd, eval_tracking_utils.py:282-299; it writes to a
@@ -163,38 +196,27 @@ class TrackingEvaluator:
                             ref_box, offset4, bool(self.data_cfg.get("USE_Z_AXIS", False))
                         )
                     if self._pcd_dir is not None:
-                        self._save_pcd(search, ref_box, annos[i] if annos else {}, i)
+                        save_candidate_pcd(
+                            self._pcd_dir, search, ref_box,
+                            annos[i] if annos is not None and i < len(annos) else {},
+                            default_scene=self.batch_num, default_frame=i,
+                        )
                     results.append(box)
                     self.frame_time.update(time.perf_counter() - t0)
 
                 self.evaluator.update_iou(this_box, results[-1])
                 anno = annos[i] if annos is not None and i < len(annos) else {}
-                self._save_result(anno, results[-1])
+                self._save_result(anno, results[-1], frame_id=i)
                 if progress_cb is not None:
                     progress_cb(self)
         return results
 
-    def _save_pcd(self, search, ref_box, anno, frame_id):
-        """Dump the (resampled, canonical-frame) candidate cloud rotated/translated
-        back to the world frame by the crop's reference box — the reference's
-        save_pts_pcd semantics (eval_tracking_utils.py:282-299: candidate_PC is
-        canonical; pc.rotate(ref.rotation_matrix); pc.translate(ref.center))."""
-        from ..utils.file_io import save_pts_as_pcd
-
-        world = search @ ref_box.rotation_matrix.T + ref_box.center
-        scene = anno.get("scene", anno.get("scene_num", self.batch_num))
-        track = anno.get("track_id", 0)
-        frame = anno.get("frame", anno.get("frame_num", frame_id))
-        save_pts_as_pcd(
-            world, self._pcd_dir, name=f"{scene}_{track}_candidatePC_{frame}.pcd"
-        )
-
-    def _save_result(self, anno, box):
+    def _save_result(self, anno, box, frame_id=-1):
         if self._fp is None:
             return
-        info = [anno.get("scene_num", -1), anno.get("frame_num", -1), self.batch_num]
+        scene, _, frame = anno_scene_frame(anno, default_scene=-1, default_frame=frame_id)
         flat = np.concatenate(box.corners().T, axis=0).tolist()
-        self._fp.write(" ".join(map(str, info + flat)) + "\n")
+        self._fp.write(" ".join(map(str, [scene, frame, self.batch_num] + flat)) + "\n")
 
     @property
     def fps(self):

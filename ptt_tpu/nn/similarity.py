@@ -55,9 +55,22 @@ class CosineSimAug(nn.Module):
             proj_t = jnp.concatenate([template_xyz, template_feats], axis=-1) @ kernel[1:]
             return sim[..., None] * kernel[0] + proj_t[:, :, None, :]
 
-        fused = SharedMLP(self.model_cfg["MLP"]["CHANNELS"], bn=self.model_cfg["MLP"]["BN"])(
-            None, train=train, first_linear_apply=first_linear
-        )
+        mlp = SharedMLP(self.model_cfg["MLP"]["CHANNELS"], bn=self.model_cfg["MLP"]["BN"])
+        if mlp.bn:
+            fused = mlp(None, train=train, first_linear_apply=first_linear)
+        else:
+            # BN:False keeps a layer-0 bias the decomposed hook doesn't carry —
+            # take the reference-shaped concat path (identical function, just
+            # without the FLOP/HBM saving)
+            fused = jnp.concatenate(
+                [
+                    sim[..., None],
+                    jnp.broadcast_to(template_xyz[:, :, None, :], (B, n1, n2, 3)),
+                    jnp.broadcast_to(template_feats[:, :, None, :], (B, n1, n2, C)),
+                ],
+                axis=-1,
+            )
+            fused = mlp(fused, train=train)
         fused = jnp.max(fused, axis=1)  # max-pool over the template axis -> (B, n2, C')
         fused = ConvStack(self.model_cfg["CONV"]["CHANNELS"], bn=self.model_cfg["CONV"]["BN"])(
             fused, train=train

@@ -10,12 +10,18 @@ grouping / FPS — no cross-batch reduction), so the fix is mechanical: wrap eac
 kernel invocation in ``shard_map`` over the data axis, letting every device run
 the identical grid program on its batch shard.
 
-The mesh is process-level configuration, set once by the entry points that
-build a mesh (train_state.make_sharded_train_step, the eval device loop's mesh
-mode, __graft_entry__.dryrun_multichip) via ``set_mesh``/``use_mesh``; kernels
-read it at trace time through ``shard_batched``. Kernel wrappers must therefore
-carry the (mesh, axis) pair in their jit/custom_vjp static arguments so a mesh
-change retraces instead of reusing a stale single-device trace.
+Kernels read the context at TRACE time through ``shard_batched``, so the
+context must be correct whenever a consuming jit traces. The entry points that
+own a mesh therefore SCOPE it around their own dispatches with ``use_mesh``
+(train_state.make_sharded_train_step wraps every step call; the eval device
+loop wraps each dispatch_batch with its own mesh-or-None) rather than leaking a
+process-global — a meshless evaluator after a mesh-sharded training step keeps
+its jnp fallback. Wrappers that carry their own jit additionally put (mesh,
+axis) in their static arguments (fused_sa_inference, Pallas FPS) so a direct
+caller under a different context retraces. Residual caveat, inherent to any
+trace-time configuration: user code that jits a kernel-containing function
+itself, traces it, and only then changes the context keeps the old trace —
+enter ``use_mesh`` before the first call instead.
 
 The reference has no analog (its CUDA kernels run under torch DDP's
 one-process-per-GPU model, where every kernel is single-device by construction;

@@ -159,20 +159,27 @@ def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data",
     """Jit the train step with explicit shardings: state replicated, batch sharded.
     XLA turns the batch-axis reductions (loss mean, BN stats) and the gradient
     averaging into ICI collectives."""
-    # install the mesh for the fused Pallas kernels: they shard_map over the
-    # batch axis instead of falling back to the jnp path (ops/mesh_ctx.py)
     from ..ops import mesh_ctx
 
-    mesh_ctx.set_mesh(mesh, axis)
     train_step = make_train_step(
         model_cfg, with_bn_momentum=with_bn_momentum, mixed_precision=mixed_precision
     )
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(axis))
     in_shardings = (replicated, batch_sharded) + ((replicated,) if with_bn_momentum else ())
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )
+
+    def step(*args):
+        # Scope the fused-kernel mesh context (ops/mesh_ctx.py) to this step's
+        # trace/dispatch: the kernels shard_map over THIS mesh's batch axis
+        # instead of falling back to jnp, and nothing leaks into later
+        # (possibly meshless) evaluator dispatches in the same process.
+        with mesh_ctx.use_mesh(mesh, axis):
+            return jitted(*args)
+
+    return step

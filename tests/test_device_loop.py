@@ -377,16 +377,29 @@ def test_evaluator_mesh_mode_matches_single_device(synth_cfg_loader):
     plain_results = plain.track_batch(tracklets)
 
     mesh = make_data_mesh()
-    try:
-        with pytest.raises(ValueError, match="divide"):
-            DeviceTrackingEvaluator(
-                cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=6, mesh=mesh
-            )
-        ev = DeviceTrackingEvaluator(
-            cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=8, mesh=mesh
+    with pytest.raises(ValueError, match="divide"):
+        DeviceTrackingEvaluator(
+            cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=6, mesh=mesh
         )
-        assert mesh_ctx.get_mesh()[0] is mesh  # fused-kernel context installed
-        mesh_results = ev.track_batch(tracklets)  # 2 tracklets pad up to 8
+    ev = DeviceTrackingEvaluator(
+        cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=8, mesh=mesh
+    )
+    mesh_results = ev.track_batch(tracklets)  # 2 tracklets pad up to 8
+    # the mesh context is scoped to dispatches — no process-global leak
+    assert mesh_ctx.get_mesh()[0] is None
+
+    # and a MESHLESS evaluator must not inherit a leaked train mesh: with a
+    # foreign mesh installed globally, its (indivisible) batch still dispatches
+    # through the jnp fallback instead of raising in shard_batched
+    mesh_ctx.set_mesh(mesh)
+    try:
+        leaked = DeviceTrackingEvaluator(
+            cfg, ConstOffsetModel(), {}, max_points=2048, batch_size=3
+        )
+        leaked_results = leaked.track_batch(tracklets)
+        for p_trk, l_trk in zip(plain_results, leaked_results):
+            for pb, lb in zip(p_trk, l_trk):
+                np.testing.assert_allclose(pb.center, lb.center, atol=1e-4)
     finally:
         mesh_ctx.set_mesh(None)
 

@@ -154,11 +154,9 @@ def test_sharded_train_step_with_fused_kernels(rng, mesh, monkeypatch):
     state = create_train_state(model, tx, batch)
 
     monkeypatch.setattr(pallas_sa, "FORCE_INTERPRET", True)
-    try:
-        step = make_sharded_train_step(cfg.MODEL, mesh)  # installs the mesh ctx
-        assert mesh_ctx.get_mesh()[0] is mesh
-        state, metrics = step(state, shard_batch(batch, mesh))
-        assert np.isfinite(float(metrics["loss"]))
-        assert jax.tree_util.tree_leaves(state.params)[0].sharding.is_fully_replicated
-    finally:
-        mesh_ctx.set_mesh(None)
+    step = make_sharded_train_step(cfg.MODEL, mesh)  # scopes the mesh ctx per call
+    state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree_util.tree_leaves(state.params)[0].sharding.is_fully_replicated
+    # the context is scoped to the step call — nothing leaks into later traces
+    assert mesh_ctx.get_mesh()[0] is None
