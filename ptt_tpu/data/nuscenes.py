@@ -118,6 +118,16 @@ class NuscenesTrackingDataset(TrackingDataset):
                 anno = self.nusc.get("sample_annotation", anno_token)
                 sample = self.nusc.get("sample", anno["sample_token"])
                 scene = self.nusc.get("scene", sample["scene_token"])
+                # KEY_FRAME_ONLY drops annotations whose LIDAR_TOP sweep is not a
+                # key frame (reference nus_dataset_tracking.py:78). In a standard
+                # release this is a no-op — sample['data'] points at the key-frame
+                # sweep by construction — but mixed/custom exports can chain
+                # non-key sweeps, and the reference filters them.
+                if self.key_frame_only and not self.nusc.get(
+                    "sample_data", sample["data"]["LIDAR_TOP"]
+                ).get("is_key_frame", True):
+                    anno_token = anno["next"]
+                    continue
                 if scene["name"] in scene_names and anno["num_lidar_pts"] >= self.min_points:
                     chain.append(anno)
                 anno_token = anno["next"]

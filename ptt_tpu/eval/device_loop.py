@@ -326,24 +326,31 @@ class DeviceTrackingEvaluator:
 
     def __init__(self, cfg, model, variables, max_points: int = 16384,
                  frame_bucket: int = 32, batch_size: int = 8, seed: int = 1,
-                 logger=None, quantize: bool = True, mesh=None, output_dir=None):
+                 logger=None, quantize: bool = True, mesh=None, output_dir=None,
+                 axis: str = "data"):
         from .metrics import Evaluator
 
         self.cfg = cfg
         self.variables = variables
         # multi-chip inference: tracklets are embarrassingly parallel, so the
-        # dispatch batch shards over the mesh's data axis and the fused Pallas
-        # kernels shard_map over the same axis (ops/mesh_ctx.py)
+        # dispatch batch shards over the mesh's batch axis (``axis``) and the
+        # fused Pallas kernels shard_map over the same axis (ops/mesh_ctx.py)
         self.mesh = mesh
+        self.axis = str(axis)
         self._shard = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if self.axis not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh axes {mesh.axis_names} have no '{self.axis}' axis; "
+                    f"pass axis=<your batch axis name>"
+                )
             if batch_size % mesh.size:
                 raise ValueError(
                     f"batch_size {batch_size} must divide over the {mesh.size}-device mesh"
                 )
-            self._shard = NamedSharding(mesh, P("data"))
+            self._shard = NamedSharding(mesh, P(self.axis))
             self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.max_points = int(max_points)
         self.frame_bucket = int(frame_bucket)
@@ -402,6 +409,18 @@ class DeviceTrackingEvaluator:
         if bool(self.cfg.TEST.get("SAVE_PCD", False)):
             self._pcd_dir = Path(output_dir) / "pcd"
             self._pcd_dir.mkdir(parents=True, exist_ok=True)
+
+    def close(self):
+        """Release the track_result file handle (kept open across tracklets for
+        per-tracklet appends). eval_one_epoch_device calls this when the epoch
+        finishes; a cached evaluator rebinds via set_output_dir next epoch."""
+        self.set_output_dir(None)
+
+    def __del__(self):  # pragma: no cover — belt and braces for direct users
+        try:
+            self.close()
+        except Exception:
+            pass
 
     @staticmethod
     def box_to_vec(box) -> np.ndarray:
@@ -488,7 +507,7 @@ class DeviceTrackingEvaluator:
         # (its batch_size need not divide a leaked train mesh).
         from ..ops import mesh_ctx
 
-        with mesh_ctx.use_mesh(self.mesh):
+        with mesh_ctx.use_mesh(self.mesh, self.axis):
             if gt_arr is None:
                 boxes_dev, scores_dev = self.track_fn(
                     self.variables, pcs_arr, counts, init_boxes, wlhs, keys
@@ -667,6 +686,7 @@ def eval_one_epoch_device(cfg, model, variables, dataloader, epoch_id="?", logge
         in_flight = handle
     if in_flight is not None:
         ev.finish_batch(in_flight)
+    ev.close()  # don't leak the track_result handle across --eval_all epochs
     elapsed = time.perf_counter() - start
     # multi-host: each process tracked its tracklet shard; merge the raw
     # per-frame metric lists and recompute the global AUCs (no-op single-process)

@@ -83,7 +83,8 @@ def make_track_step(model):
 class TrackingEvaluator:
     """Per-tracklet tracking state machine (reference TrackingEvaluator, :54-310)."""
 
-    def __init__(self, cfg, model, variables, dataset, logger=None, output_dir=None):
+    def __init__(self, cfg, model, variables, dataset, logger=None, output_dir=None,
+                 pcd_dir=None):
         self.cfg = cfg
         self.data_cfg = cfg.DATA_CONFIG
         self.test_cfg = cfg.TEST
@@ -114,10 +115,15 @@ class TrackingEvaluator:
 
         # TEST.SAVE_PCD: per-frame candidate-cloud dumps in the world frame
         # (reference save_pts_pcd, eval_tracking_utils.py:282-299; it writes to a
-        # hardcoded ../output/pcd — here they land under the run's output dir)
+        # hardcoded ../output/pcd — here they land under the run's output dir).
+        # eval_one_epoch passes the run-level pcd dir explicitly; a direct user
+        # who gives only output_dir gets ``<output_dir>/pcd``, not a dir two
+        # levels above what they asked for.
         self._pcd_dir = None
-        if bool(self.test_cfg.get("SAVE_PCD", False)) and output_dir is not None:
-            self._pcd_dir = Path(output_dir).parent.parent / "pcd"
+        if bool(self.test_cfg.get("SAVE_PCD", False)) and (
+            pcd_dir is not None or output_dir is not None
+        ):
+            self._pcd_dir = Path(pcd_dir) if pcd_dir is not None else Path(output_dir) / "pcd"
             self._pcd_dir.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------- host preprocessing
@@ -247,7 +253,8 @@ def eval_one_epoch(cfg, model, variables, dataloader, epoch_id="?", logger=None,
     final_dir = Path(result_dir) / "final_result" / "data" if result_dir else None
 
     ev = TrackingEvaluator(
-        cfg, model, variables, dataloader.dataset, logger=logger, output_dir=final_dir
+        cfg, model, variables, dataloader.dataset, logger=logger, output_dir=final_dir,
+        pcd_dir=Path(result_dir) / "pcd" if result_dir else None,
     )
     start = time.perf_counter()
     n_frames = 0

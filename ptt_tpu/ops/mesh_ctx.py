@@ -31,6 +31,7 @@ SURVEY.md §2.3) — this is the TPU-native equivalent of that property.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -50,33 +51,84 @@ except ImportError:  # pragma: no cover
         )
 
 
-_MESH: Mesh | None = None
-_AXIS: str = "data"
+# ContextVar (not module globals) so two threads tracing concurrently — e.g. an
+# async eval dispatch overlapping a train step — each see only their own scoped
+# mesh and cannot bake the other's sharding into a cached trace.
+_CTX: contextvars.ContextVar[tuple[Mesh | None, str]] = contextvars.ContextVar(
+    "ptt_tpu_mesh_ctx", default=(None, "data")
+)
 
 
 def set_mesh(mesh: Mesh | None, axis: str = "data") -> None:
-    """Install the process-level mesh the fused kernels shard over (None clears)."""
-    global _MESH, _AXIS
-    _MESH = mesh
-    _AXIS = axis
+    """Install the context-level mesh the fused kernels shard over (None clears)."""
+    _CTX.set((mesh, axis))
 
 
 def get_mesh() -> tuple[Mesh | None, str]:
     """(mesh, axis) if a >1-device mesh is installed, else (None, axis) — a
     1-device mesh needs no shard_map and would only add tracing overhead."""
-    if _MESH is not None and _MESH.size > 1:
-        return _MESH, _AXIS
-    return None, _AXIS
+    mesh, axis = _CTX.get()
+    if mesh is not None and mesh.size > 1:
+        return mesh, axis
+    return None, axis
 
 
 @contextlib.contextmanager
 def use_mesh(mesh: Mesh | None, axis: str = "data"):
-    prev = (_MESH, _AXIS)
-    set_mesh(mesh, axis)
+    token = _CTX.set((mesh, axis))
     try:
         yield
     finally:
-        set_mesh(*prev)
+        _CTX.reset(token)
+
+
+# --------------------------------------------------------------------------
+# Point-axis (sequence-parallel) context — the long-context analog (SURVEY.md
+# §5): for Waymo-scale clouds the POINT dimension is the axis to shard. A 1D
+# ('point',) mesh installed here makes ops.square_distance / ops.knn /
+# ops.ball_query route their O(N^2) work through shard_map (query/center rows
+# split over devices, reference points replicated — queries are independent, so
+# no collectives inside the op). Installed by entry points that own the mesh
+# (tools/test_tracking.py for POINT_SHARDING configs, dryrun_multichip), read
+# by the ops dispatchers at trace time — the same trace-time contract as the
+# batch context above.
+_POINT_CTX: contextvars.ContextVar[tuple[Mesh | None, str]] = contextvars.ContextVar(
+    "ptt_tpu_point_mesh_ctx", default=(None, "point")
+)
+
+
+def set_point_mesh(mesh: Mesh | None, axis: str = "point") -> None:
+    """Install the context-level mesh the point-axis-sharded ops split over."""
+    if mesh is not None and axis not in mesh.axis_names:
+        raise ValueError(f"mesh axes {mesh.axis_names} have no '{axis}' axis")
+    _POINT_CTX.set((mesh, axis))
+
+
+def get_point_mesh() -> tuple[Mesh | None, str]:
+    """(mesh, axis) if a point mesh with a >1-way point axis is installed."""
+    mesh, axis = _POINT_CTX.get()
+    if mesh is not None and mesh.shape[axis] > 1:
+        return mesh, axis
+    return None, axis
+
+
+@contextlib.contextmanager
+def use_point_mesh(mesh: Mesh | None, axis: str = "point"):
+    if mesh is not None and axis not in mesh.axis_names:
+        raise ValueError(f"mesh axes {mesh.axis_names} have no '{axis}' axis")
+    token = _POINT_CTX.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _POINT_CTX.reset(token)
+
+
+def shard_pointwise(fn, mesh: Mesh, axis: str, n_sharded: int, n_replicated: int):
+    """shard_map wrapper for row-independent point ops: the first ``n_sharded``
+    args and the output are split on dim 1 (the point/center axis); the
+    remaining ``n_replicated`` args (reference clouds) are replicated."""
+    in_specs = tuple([P(None, axis)] * n_sharded + [P()] * n_replicated)
+    return _shard_map(fn, mesh, in_specs, P(None, axis))
 
 
 def shard_batched(fn, mesh: Mesh | None, axis: str, n_batched: int,

@@ -307,6 +307,11 @@ def fused_enabled() -> bool:
     """
     if DISABLE_FUSED:
         return False
+    # point-axis-sharded runs (POINT_SHARDING configs) use the jnp SA path: its
+    # ball query routes through the sharded ops, whereas the fused kernel holds
+    # the full cloud per program and would run replicated
+    if mesh_ctx.get_point_mesh()[0] is not None:
+        return False
     if FORCE_INTERPRET:
         return True
     try:

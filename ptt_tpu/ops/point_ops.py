@@ -32,17 +32,29 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
-    """Pairwise squared euclidean distance.
+# Point-axis sharding: when an entry point installs a point mesh
+# (ops.mesh_ctx.use_point_mesh — the POINT_SHARDING configs), the O(N^2)
+# neighborhood ops below split their query/center rows over the mesh via
+# shard_map (rows are independent; reference points replicate). Dims smaller
+# than this stay local — splitting a 128-seed kNN adds dispatch overhead for
+# nothing.
+MIN_SHARD_POINTS = 512
 
-    Args:
-      src: (B, N, C); dst: (B, M, C).
-      exact: if True, use the elementwise broadcast form (bit-matching the reference's
-        ``sum((a-b)**2)``); otherwise the matmul form ``|a|^2+|b|^2-2ab`` which runs on
-        the MXU and clamps tiny negative round-off at 0.
 
-    Returns: (B, N, M) float32.
-    """
+def _point_mesh_for(dim_size: int):
+    """(mesh, axis) when the installed point mesh should split ``dim_size`` rows."""
+    from . import mesh_ctx
+
+    mesh, axis = mesh_ctx.get_point_mesh()
+    if mesh is None:
+        return None, None
+    n_shards = mesh.shape[axis]
+    if dim_size < MIN_SHARD_POINTS or dim_size % n_shards:
+        return None, None
+    return mesh, axis
+
+
+def _square_distance_raw(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     if exact:
         return jnp.sum((src[:, :, None, :] - dst[:, None, :, :]) ** 2, axis=-1)
     src = src.astype(jnp.float32)
@@ -59,6 +71,30 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> 
         precision=lax.Precision.HIGHEST,
     )
     return jnp.maximum(s2 + jnp.swapaxes(d2, 1, 2) - 2.0 * cross, 0.0)
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """Pairwise squared euclidean distance.
+
+    Args:
+      src: (B, N, C); dst: (B, M, C).
+      exact: if True, use the elementwise broadcast form (bit-matching the reference's
+        ``sum((a-b)**2)``); otherwise the matmul form ``|a|^2+|b|^2-2ab`` which runs on
+        the MXU and clamps tiny negative round-off at 0.
+
+    Under an installed point mesh (mesh_ctx.use_point_mesh) and a large enough N,
+    the src rows split over the mesh (bit-identical — each row's reduction is
+    unchanged).
+
+    Returns: (B, N, M) float32.
+    """
+    mesh, axis = _point_mesh_for(src.shape[1])
+    if mesh is not None:
+        from . import mesh_ctx
+
+        fn = functools.partial(_square_distance_raw, exact=exact)
+        return mesh_ctx.shard_pointwise(fn, mesh, axis, 1, 1)(src, dst)
+    return _square_distance_raw(src, dst, exact=exact)
 
 
 # ---------------------------------------------------------------------------
@@ -151,20 +187,8 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample"))
-def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
-    """Fixed-size ball neighborhoods.
-
-    For each center, the indices of up to ``nsample`` points within ``radius``, in
-    ascending original-point order; rows with fewer than ``nsample`` hits are padded
-    with the first in-radius index — duplicate-pad semantics identical to the CUDA
-    ball_query, so downstream max-pools see the same multiset of neighbors.
-
-    Args:
-      xyz: (B, N, 3) all points; new_xyz: (B, M, 3) centers.
-    Returns:
-      (B, M, nsample) int32.
-    """
-    d2 = square_distance(new_xyz, xyz)  # (B, M, N)
+def _ball_query_impl(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    d2 = _square_distance_raw(new_xyz, xyz)  # (B, M, N)
     N = xyz.shape[1]
     in_ball = d2 < (radius * radius)
     order = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
@@ -184,6 +208,33 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
     if k < nsample:  # more slots than points: extend with the pad index
         idx = jnp.concatenate([idx, jnp.broadcast_to(first, (*idx.shape[:-1], nsample - k))], axis=-1)
     return idx.astype(jnp.int32)
+
+
+def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-size ball neighborhoods.
+
+    For each center, the indices of up to ``nsample`` points within ``radius``, in
+    ascending original-point order; rows with fewer than ``nsample`` hits are padded
+    with the first in-radius index — duplicate-pad semantics identical to the CUDA
+    ball_query, so downstream max-pools see the same multiset of neighbors.
+
+    Under an installed point mesh the CENTER rows split over the mesh (bit-identical:
+    each center's neighborhood is computed against the full replicated cloud).
+
+    Args:
+      xyz: (B, N, 3) all points; new_xyz: (B, M, 3) centers.
+    Returns:
+      (B, M, nsample) int32.
+    """
+    mesh, axis = _point_mesh_for(new_xyz.shape[1])
+    if mesh is not None:
+        from . import mesh_ctx
+
+        def _bq(centers, pts):
+            return _ball_query_impl(radius, nsample, pts, centers)
+
+        return mesh_ctx.shard_pointwise(_bq, mesh, axis, 1, 1)(new_xyz, xyz)
+    return _ball_query_impl(radius, nsample, xyz, new_xyz)
 
 
 def uniform_resample_idx(idx: jnp.ndarray, key) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -293,17 +344,31 @@ def group_all(xyz: jnp.ndarray, features: jnp.ndarray | None, use_xyz: bool = Tr
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _knn_impl(k: int, query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    d2 = _square_distance_raw(query, ref)
+    _, idx = lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
 def knn(k: int, query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """k nearest neighbors of each query point among ref points (self included when
     query is ref) — the transformer blocks' ``square_distance().argsort()[..., :k]``
     (reference variants.py:150-151). Ties break toward the lower index (top_k is
     stable), matching a stable argsort.
 
+    Under an installed point mesh the QUERY rows split over the mesh (bit-identical:
+    each query row's top_k runs against the full replicated ref cloud).
+
     Returns: (B, Nq, k) int32.
     """
-    d2 = square_distance(query, ref)
-    _, idx = lax.top_k(-d2, k)
-    return idx.astype(jnp.int32)
+    mesh, axis = _point_mesh_for(query.shape[1])
+    if mesh is not None:
+        from . import mesh_ctx
+
+        return mesh_ctx.shard_pointwise(
+            functools.partial(_knn_impl, k), mesh, axis, 1, 1
+        )(query, ref)
+    return _knn_impl(k, query, ref)
 
 
 @jax.jit
@@ -313,7 +378,7 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
     Returns (dist (B, n, 3), idx (B, n, 3) int32) — dist is EUCLIDEAN (not squared),
     matching _ext.three_nn.
     """
-    d2 = square_distance(unknown, known)
+    d2 = _square_distance_raw(unknown, known)
     neg, idx = lax.top_k(-d2, 3)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 

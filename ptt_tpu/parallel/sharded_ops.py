@@ -11,6 +11,16 @@ replication (an all-gather XLA inserts from the shardings) is communication.
 
 All three ops return bit-identical results to their unsharded counterparts; the
 tests run them on the 8-device virtual CPU mesh.
+
+Two ways to use this:
+  - implicit (the model path): install a point mesh with
+    ``ops.mesh_ctx.use_point_mesh(mesh)`` — ``ops.square_distance`` / ``ops.knn``
+    / ``ops.ball_query`` then route large-N calls through shard_map themselves,
+    so the whole network (SA ball queries, transformer kNN, ffps distances)
+    shards without model changes. The POINT_SHARDING block of
+    ``tools/cfgs/kitti_models/ptt_waymo.yaml`` turns this on in the eval CLI.
+  - explicit (this module): call the ``sharded_*`` wrappers with the mesh in
+    hand, e.g. from custom pipelines that manage their own shardings.
 """
 
 from __future__ import annotations
@@ -49,13 +59,13 @@ def _point_sharded(mesh: Mesh, axis: str, fn, n_in_sharded: int = 1, n_in_replic
 
 def sharded_square_distance(query, ref, mesh: Mesh, axis: str = "data"):
     """(B, Nq, 3) x (B, Nr, 3) -> (B, Nq, Nr) with Nq sharded over the mesh."""
-    fn = _point_sharded(mesh, axis, lambda q, r: point_ops.square_distance(q, r))
+    fn = _point_sharded(mesh, axis, lambda q, r: point_ops._square_distance_raw(q, r))
     return fn(query, ref)
 
 
 def sharded_knn(k: int, query, ref, mesh: Mesh, axis: str = "data"):
     """k nearest reference indices per query point, query axis sharded."""
-    fn = _point_sharded(mesh, axis, functools.partial(point_ops.knn, k))
+    fn = _point_sharded(mesh, axis, functools.partial(point_ops._knn_impl, k))
     return fn(query, ref)
 
 
@@ -64,7 +74,7 @@ def sharded_ball_query(radius: float, nsample: int, xyz, new_xyz, mesh: Mesh,
     """Ball query with the CENTERS sharded over the mesh (xyz replicated)."""
 
     def _bq(centers, pts):
-        return point_ops.ball_query(radius, nsample, pts, centers)
+        return point_ops._ball_query_impl(radius, nsample, pts, centers)
 
     fn = _point_sharded(mesh, axis, _bq)
     return fn(new_xyz, xyz)
@@ -74,14 +84,16 @@ def sharded_vector_attention(apply_fn, variables, xyz, features, mesh: Mesh,
                              axis: str = "data", k: int = 16):
     """Run a kNN vector-attention block with the point axis sharded.
 
-    ``apply_fn(variables, xyz_shard, features, knn_idx_shard) -> out_shard`` is the
-    per-shard computation; this helper handles the sharded kNN against the full
-    point set and the sharding plumbing. For the stock TransformerBlock the
-    convenience below (``sharded_transformer_apply``) wires it up directly.
+    ``apply_fn(variables, xyz_shard, feats_shard, xyz_full, feats_full,
+    knn_idx_shard) -> out_shard`` is the per-shard computation; this helper
+    handles the sharded kNN against the full point set and the sharding
+    plumbing. For the stock model blocks, prefer the implicit route instead:
+    install ``ops.mesh_ctx.use_point_mesh(mesh)`` and the blocks' own
+    ``ops.knn`` calls shard themselves (tests/test_parallel.py).
     """
 
     def _one(xyz_shard, feats_shard, xyz_full, feats_full):
-        idx = point_ops.knn(k, xyz_shard, xyz_full)
+        idx = point_ops._knn_impl(k, xyz_shard, xyz_full)
         return apply_fn(variables, xyz_shard, feats_shard, xyz_full, feats_full, idx)
 
     fn = _shard_map(

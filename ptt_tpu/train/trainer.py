@@ -80,11 +80,23 @@ class Trainer:
         # docs/PERFORMANCE.md). Reference-numerics parity runs opt out with
         # OPTIMIZATION.MIXED_PRECISION: False; make_train_step's own default
         # stays f32 for the oracle-parity tests.
+        mixed_precision = bool(optim_cfg.get("MIXED_PRECISION", True))
+        # the default flipped to bf16 in round 4 — surface the effective
+        # precision in every run log so a silently-changed numeric regime is
+        # visible when re-running an older config
+        self.logger.info(
+            "mixed_precision=%s (%s; set OPTIMIZATION.MIXED_PRECISION: %s to flip)"
+            % (
+                "bf16" if mixed_precision else "f32",
+                "default" if "MIXED_PRECISION" not in optim_cfg else "from config",
+                not mixed_precision,
+            )
+        )
         self.train_step = make_sharded_train_step(
             model_cfg,
             self.mesh,
             with_bn_momentum=bool(self.bn_sched_cfg),
-            mixed_precision=bool(optim_cfg.get("MIXED_PRECISION", True)),
+            mixed_precision=mixed_precision,
         )
         self.ckpt = CheckpointManager(
             str(output_dir) + "/ckpt", max_to_keep=max_ckpt_save_num

@@ -23,7 +23,7 @@ def q(axis, rad):
     return list(Quaternion(axis=axis, radians=rad).elements)
 
 
-def make_nuscenes_tree(root, n_frames=4, rng=None):
+def make_nuscenes_tree(root, n_frames=4, rng=None, non_key_frames=()):
     rng = rng or np.random.default_rng(0)
     version = "v1.0-trainval"
     (root / version).mkdir(parents=True)
@@ -55,6 +55,7 @@ def make_nuscenes_tree(root, n_frames=4, rng=None):
         tables["sample_data"].append({
             "token": f"sd{f}", "sample_token": f"sample{f}", "filename": fname,
             "ego_pose_token": f"ego{f}", "calibrated_sensor_token": "cs0",
+            "is_key_frame": f not in non_key_frames,
         })
         tables["sample"].append({
             "token": f"sample{f}", "scene_token": "scene0", "timestamp": 1000 + f,
@@ -146,6 +147,21 @@ def test_split_filtering(nus_root):
     cfg["DATA_SPLIT"] = {"train": "val", "test": "val"}  # scene-0004 not in val
     ds = NuscenesTrackingDataset(cfg, "car", training=True)
     assert ds.num_tracklets == 0
+
+
+def test_key_frame_only_filter(tmp_path):
+    """KEY_FRAME_ONLY drops annotations chained to non-key-frame lidar sweeps
+    (reference nus_dataset_tracking.py:78); off by default, everything stays."""
+    make_nuscenes_tree(tmp_path, non_key_frames=(2,))
+    cfg = base_cfg(tmp_path)
+    ds_all = NuscenesTrackingDataset(cfg, "car", training=True)
+    assert ds_all.num_frames == 4
+    cfg_kf = dict(cfg, KEY_FRAME_ONLY=True)
+    ds_kf = NuscenesTrackingDataset(cfg_kf, "car", training=True)
+    assert ds_kf.num_frames == 3
+    # the dropped frame is frame 2: the surviving timestamps skip 1002
+    stamps = [fr["anno"]["frame"] for fr in ds_kf.tracklets[0]]
+    assert stamps == [1000, 1001, 1003]
 
 
 def test_train_item_and_db_cache(nus_root):

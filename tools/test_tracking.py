@@ -6,11 +6,11 @@ checkpoint directory and evaluates every new checkpoint as training produces the
 
 Two execution paths:
   - the device-resident tracker (default): whole tracklets compiled into one XLA
-    program, batched across tracklets — the deployment-speed path;
+    program, batched across tracklets — the deployment-speed path. Every TEST
+    config runs here: all three REF_BOX modes and all four SHAPE_AGGREGATION
+    modes including 'all' (the scan carries the predicted-box history);
   - ``--host_loop``: per-frame host loop with reference-exact crop/resample RNG
-    semantics, used for parity runs and for TEST configs the device path does not
-    support (GT-referenced REF_BOX modes, SHAPE_AGGREGATION='all'); the CLI falls
-    back to it automatically in those cases.
+    semantics — opt in for parity runs against the reference evaluator.
 """
 
 import argparse
@@ -190,6 +190,25 @@ def main():
         num_shards=num_processes, shard_id=process_index,
     )
     model = build_network(cfg.MODEL)
+
+    # MODEL.POINT_SHARDING (the ptt_waymo Waymo-scale config): install a
+    # ('point',) mesh over the local devices — ops.square_distance / knn /
+    # ball_query then shard their large-N query/center rows via shard_map
+    # (ops/mesh_ctx.py). Orthogonal to the device loop's tracklet batching.
+    ps_cfg = cfg.MODEL.get("POINT_SHARDING", {}) or {}
+    if bool(ps_cfg.get("ENABLED", False)) and len(jax.local_devices()) > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from ptt_tpu.ops import mesh_ctx
+
+        axis = str(ps_cfg.get("AXIS", "point"))
+        point_mesh = Mesh(np.array(jax.local_devices()), (axis,))
+        mesh_ctx.set_point_mesh(point_mesh, axis)
+        logger.info(
+            f"POINT_SHARDING on: point axis '{axis}' sharded over "
+            f"{point_mesh.size} local devices"
+        )
 
     if args.eval_all:
         ckpt_dir = args.ckpt_dir or (output_dir / "ckpt")
