@@ -338,7 +338,9 @@ def crop_center_pc(
 
     Mirrors reference crop_center_pc (kitti_tracking_utils.py:300-339): a loose AABB
     pre-crop (offset*2, scale*4), rigid transform into the sample box frame, then a
-    tight crop (with the reference's ``gt.wlh[1]*0.6`` extra slack on the train path).
+    tight crop — with the reference's ``gt.wlh[1]*0.6`` extra slack whenever gt_box
+    is given, which is BOTH the train path and the reference evaluator's search
+    crop (prepare_search passes gt_box, eval_tracking_utils.py:164-169).
     ``normalize`` divides the canonical points axis-wise by the sample box's
     (l, w, h) (reference PointCloud.normalize + the ``normalize=`` flag,
     kitti_tracking_utils.py:63-65,337-338; off in every shipped config).

@@ -167,6 +167,11 @@ def make_device_tracker(
 
     # batch-vectorized host-prep primitives (pure jnp; cheap to vmap)
     _crop_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, None, None))
+    # search crop with a per-row offset: the reference evaluator's search crop
+    # carries ``offset + gt.wlh[1]*0.6`` slack (crop_center_pc's gt branch,
+    # kitti_tracking_utils.py:321, taken by prepare_search) — wlh varies per
+    # tracklet, so the offset rides the batch axis
+    _crop_search_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, 0, None))
     _resample_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
     # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
@@ -190,6 +195,7 @@ def make_device_tracker(
         B, T, N = pcs.shape[0], pcs.shape[1], pcs.shape[2]
         if ref_mode != "PREVIOUS_RESULT" and gt_boxes is None:
             raise ValueError(f"REF_BOX={ref_mode} needs the gt_boxes (B, T, 4) array")
+        search_offsets = search_offset + 0.6 * wlhs[:, 1]  # (B,) reference slack
 
         def frame(t):
             f = jnp.take(pcs, t, axis=1)
@@ -229,8 +235,8 @@ def make_device_tracker(
             else:
                 ref_boxes = prev_boxes
 
-            search_canon, search_mask = _crop_b(
-                cur_pts, cur_valid, ref_boxes, wlhs, search_offset, search_scale
+            search_canon, search_mask = _crop_search_b(
+                cur_pts, cur_valid, ref_boxes, wlhs, search_offsets, search_scale
             )
             search, _ = _resample_b(search_canon, search_mask, search_size, ks[:, 0])
 
@@ -551,8 +557,9 @@ class DeviceTrackingEvaluator:
                 ref_box = gt_boxes[t - 1]
             else:
                 ref_box = gt_boxes[t]
-            crop = geo.crop_center_pc(
-                np.asarray(pcs[t], np.float32), ref_box, offset=offset, scale=scale
+            crop, _, _ = geo.crop_center_pc(
+                np.asarray(pcs[t], np.float32), ref_box, gt_box=gt_boxes[t],
+                offset=offset, scale=scale,
             )
             crop = geo.regularize_pc(
                 crop, int(data_cfg["SEARCH_INPUT_SIZE"]), istrain=False

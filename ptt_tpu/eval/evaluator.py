@@ -142,12 +142,25 @@ class TrackingEvaluator:
             )
         offset = float(self.data_cfg.get("SEARCH_BB_OFFSET", 0.0))
         scale = float(self.data_cfg.get("SEARCH_BB_SCALE", 1.25))
+        # The reference evaluator calls crop_center_pc WITH gt_box (prepare_search,
+        # eval_tracking_utils.py:164-169), which routes the final crop through the
+        # train-style ``offset + gt.wlh[1]*0.6`` slack (kitti_tracking_utils.py:321)
+        # — the eval search region is ~0.6 object-lengths wider than the bare
+        # (offset, scale) crop. Caught by the whole-loop lockstep
+        # (tests/test_eval_lockstep.py); the pre-round-5 evaluators cropped tight.
         if self._native is not None:
+            # single-crop native kernel: fold the slack into the offset — exactly
+            # the composite's membership, since the reference's loose pre-crop
+            # (2*offset, 4*scale) is a strict superset of the slacked final crop
+            # at every shipped geometry
+            eff_offset = offset + 0.6 * float(np.asarray(this_box.wlh)[1])
             yaw = np.arctan2(ref_box.rotation_matrix[1, 0], ref_box.rotation_matrix[0, 0])
             box_vec = np.array([*ref_box.center, yaw], np.float32)
-            pts, _ = self._native.crop_canonical(this_pc, box_vec, ref_box.wlh, offset, scale)
+            pts, _ = self._native.crop_canonical(this_pc, box_vec, ref_box.wlh, eff_offset, scale)
         else:
-            pts = geo.crop_center_pc(this_pc, ref_box, offset=offset, scale=scale)
+            pts, _, _ = geo.crop_center_pc(
+                this_pc, ref_box, gt_box=this_box, offset=offset, scale=scale
+            )
         pts = geo.regularize_pc(pts, int(self.data_cfg["SEARCH_INPUT_SIZE"]), istrain=False)
         return ref_box, pts
 

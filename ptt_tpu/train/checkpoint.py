@@ -163,7 +163,19 @@ def load_params_from_file(path, params, batch_stats=None, logger=None):
     path = Path(path).resolve()
     target = {"params": params, "batch_stats": batch_stats or {}}
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path)
+    # Restore as plain numpy via the checkpoint's OWN tree metadata instead of a
+    # bare restore(): a bare restore places arrays using the sharding file, which
+    # references the SAVE-time topology — a checkpoint trained on an 8-device
+    # mesh then refuses to load in a 1-device eval process. The partial-load
+    # merge below neither knows nor cares about device placement.
+    from etils import epath
+
+    meta = ocp.PyTreeCheckpointHandler().metadata(epath.Path(path))
+    meta_tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+    )
+    restored = ckptr.restore(path, restore_args=restore_args)
     ckptr.close()
 
     flat_target = dict(jax.tree_util.tree_flatten_with_path(target)[0])

@@ -95,6 +95,72 @@ def _install_functional_ext(ext):
     ext._ptt_functional = True
 
 
+def install_geometry_stubs():
+    """Functional stand-ins for the reference's geometry deps so its EVAL STACK
+    (kitti_tracking_utils / eval_tracking_utils / eval_tracking_metrics) runs on
+    this machine: ``pyquaternion.Quaternion`` -> this repo's geometry.Quaternion
+    (same API: matrix=/axis=/angle= ctor, .rotation_matrix, .inverse property,
+    __mul__), ``shapely.geometry.Polygon`` -> a minimal convex polygon backed by
+    eval/metrics' own clipper (.area, .intersection, .union — all
+    estimateOverlap touches, eval_tracking_metrics.py:44-74).
+
+    Attributes are set on possibly pre-existing stub modules in place, so this
+    works whether or not load_reference_model already ran."""
+    import numpy as np
+
+    from ptt_tpu.core.geometry import Quaternion
+    from ptt_tpu.eval.metrics import polygon_area, polygon_intersection_area
+
+    pyq = sys.modules.setdefault("pyquaternion", types.ModuleType("pyquaternion"))
+    pyq.Quaternion = Quaternion
+
+    class _Polygon:
+        def __init__(self, pts):
+            self.pts = np.asarray(pts, np.float64)
+
+        @property
+        def area(self):
+            return polygon_area(self.pts)
+
+        def intersection(self, other):
+            return _Region(polygon_intersection_area(self.pts, other.pts))
+
+        def union(self, other):
+            inter = polygon_intersection_area(self.pts, other.pts)
+            return _Region(self.area + other.area - inter)
+
+    class _Region:
+        def __init__(self, area):
+            self.area = area
+
+    shp = sys.modules.setdefault("shapely", types.ModuleType("shapely"))
+    geom = sys.modules.setdefault("shapely.geometry", types.ModuleType("shapely.geometry"))
+    geom.Polygon = _Polygon
+    shp.geometry = geom
+
+    # the reference dataset package __init__ pulls these at import time; the
+    # eval stack never calls them on the fabricated in-memory tracklets
+    ski = sys.modules.setdefault("skimage", types.ModuleType("skimage"))
+    ski.io = sys.modules.setdefault("skimage.io", types.ModuleType("skimage.io"))
+    ipdb = sys.modules.setdefault("ipdb", types.ModuleType("ipdb"))
+    ipdb.set_trace = lambda *a, **k: None
+    nus = sys.modules.setdefault("nuscenes", types.ModuleType("nuscenes"))
+    nus.NuScenes = type("NuScenes", (), {})
+    for sub, names in (
+        ("nuscenes.nuscenes", ("NuScenes",)),
+        ("nuscenes.utils", ()),
+        ("nuscenes.utils.data_classes", ("LidarPointCloud", "Box")),
+    ):
+        mod = sys.modules.setdefault(sub, types.ModuleType(sub))
+        for n in names:
+            setattr(mod, n, type(n, (), {}))
+        setattr(
+            sys.modules[sub.rsplit(".", 1)[0]] if "." in sub else nus,
+            sub.rsplit(".", 1)[-1],
+            mod,
+        )
+
+
 def reference_forward_runnable() -> bool:
     """True when the reference's full PTT.forward can execute on CPU here."""
     from ptt_tpu import native
@@ -151,7 +217,7 @@ def load_reference_model(cfg_name="kitti_models/ptt.yaml", seed=0, cfg_mutator=N
     import importlib.util
 
     for name in ["pointnet2_ops", "tensorboardX", "mayavi", "shapely",
-                 "pyquaternion", "pandas", "skimage", "nuscenes", "tqdm"]:
+                 "pyquaternion", "pandas", "skimage", "nuscenes", "tqdm", "ipdb"]:
         if name not in sys.modules and importlib.util.find_spec(name) is None:
             sys.modules[name] = types.ModuleType(name)
     ext = sys.modules.setdefault("pointnet2_ops._ext", types.ModuleType("pointnet2_ops._ext"))

@@ -24,6 +24,8 @@ import pytest
 
 from tests.test_kitti_data import make_kitti_tree
 
+pytestmark = pytest.mark.slow  # train+eval CLI subprocesses over a fabricated KITTI tree
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 TINY_OVERRIDES = """\

@@ -10,9 +10,12 @@ import pytest
 
 from tests.ref_oracle import load_reference_model, reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # CLI subprocesses
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 REPO = Path(__file__).resolve().parent.parent
 

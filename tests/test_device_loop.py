@@ -222,6 +222,7 @@ def test_partial_batch_reuses_compiled_shape(synth_cfg_loader):
 # ------------------------------------------------------------------ end to end
 
 
+@pytest.mark.slow  # ~30 s whole-scan compile
 def test_real_model_device_tracker(synth_cfg_loader):
     from ptt_tpu.nn import build_network
 

@@ -10,6 +10,8 @@ import pytest
 from ptt_tpu.config import cfg_from_yaml_file
 from ptt_tpu.utils.dist import all_gather_array, get_dist_info, merge_metric_lists
 
+pytestmark = pytest.mark.slow  # multi-process jax.distributed + large-config compiles
+
 
 def test_get_dist_info_single_process():
     rank, world = get_dist_info()

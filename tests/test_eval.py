@@ -155,6 +155,7 @@ def test_oracle_tracker_scores_100(synth_test_loader, tmp_path):
     assert len(lines[0].split()) == 27
 
 
+@pytest.mark.slow  # ~40 s full tracking loop
 def test_full_model_eval_loop(synth_test_loader, tmp_path):
     """Untrained real network through the whole autoregressive eval: metrics finite,
     every frame scored, deterministic across runs (fixed test-path resampling)."""

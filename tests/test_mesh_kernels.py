@@ -125,6 +125,7 @@ def test_fused_sa_module_under_sharded_jit(rng, mesh, monkeypatch):
     )
 
 
+@pytest.mark.slow  # ~65 s grad-graph compile on the virtual mesh
 def test_sharded_train_step_with_fused_kernels(rng, mesh, monkeypatch):
     """One sharded train step with the fused grouped-first-linear kernel active
     (FORCE_INTERPRET + mesh): finite loss, replicated params — the multi-chip

@@ -108,6 +108,7 @@ def test_ops_dispatch_skips_small_rows(point_mesh, clouds):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(point_ops.knn(16, small, r)))
 
 
+@pytest.mark.slow  # ~27 s sharded full-forward trace
 def test_point_sharded_model_forward_matches(point_mesh, monkeypatch):
     """End-to-end: the FULL eval forward under a point mesh (the ptt_waymo route:
     SA ball queries + transformer kNN shard implicitly) matches the unsharded

@@ -16,6 +16,8 @@ from ptt_tpu.train import Trainer, build_optimizer_and_schedule, checkpoint, cre
 from ptt_tpu.train.train_state import make_data_mesh, make_sharded_train_step, shard_batch
 from ptt_tpu.utils import create_logger
 
+pytestmark = pytest.mark.slow  # trainer epoch loops + grad-graph compiles (~18 min total on 1 CPU)
+
 
 @pytest.fixture(scope="module")
 def kitti_cfg():

@@ -22,9 +22,12 @@ from tests.ref_oracle import (
     reference_forward_runnable,
 )
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # ~650 s: 20 torch+jax lockstep train steps
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 N_STEPS = 20
 B = 8

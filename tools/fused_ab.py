@@ -78,8 +78,10 @@ def main():
 
     searches, templates = [], []
     for pcs, boxes, _ in tracklets:
-        s = geo.crop_center_pc(
-            np.asarray(pcs[1], np.float64), boxes[0],
+        # gt_box: eval-time search crops carry the reference's 0.6*length slack
+        # (round-5 lockstep finding) — bench on the same distribution
+        s, _, _ = geo.crop_center_pc(
+            np.asarray(pcs[1], np.float64), boxes[0], gt_box=boxes[1],
             offset=float(cfg.DATA_CONFIG.get("SEARCH_BB_OFFSET", 0.0)),
             scale=float(cfg.DATA_CONFIG.get("SEARCH_BB_SCALE", 1.25)),
         )
