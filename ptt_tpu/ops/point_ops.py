@@ -372,15 +372,32 @@ def knn(k: int, query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _three_nn_impl(unknown: jnp.ndarray, known: jnp.ndarray):
+    d2 = _square_distance_raw(unknown, known)
+    neg, idx = lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
     """Three nearest neighbors of each unknown point among known points.
 
     Returns (dist (B, n, 3), idx (B, n, 3) int32) — dist is EUCLIDEAN (not squared),
-    matching _ext.three_nn.
+    matching _ext.three_nn. Unknown rows split over an installed point mesh like
+    the other O(N^2) neighborhood ops.
     """
-    d2 = _square_distance_raw(unknown, known)
-    neg, idx = lax.top_k(-d2, 3)
-    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+    mesh, axis = _point_mesh_for(unknown.shape[1])
+    if mesh is not None:
+        from . import mesh_ctx
+
+        # two outputs, both sharded on dim 1 — use the raw shard_map directly
+        fn = mesh_ctx._shard_map(
+            _three_nn_impl,
+            mesh,
+            (mesh_ctx.P(None, axis), mesh_ctx.P()),
+            (mesh_ctx.P(None, axis), mesh_ctx.P(None, axis)),
+        )
+        return fn(unknown, known)
+    return _three_nn_impl(unknown, known)
 
 
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:

@@ -148,3 +148,13 @@ def test_waymo_config_parses_and_enables_sharding():
     ps = cfg.MODEL["POINT_SHARDING"]
     assert bool(ps["ENABLED"]) and str(ps.get("AXIS", "point")) == "point"
     assert cfg.MODEL["BACKBONE_3D"]["SA_CONFIG"]["NPOINTS_SEARCH"][0] == 2048
+
+
+def test_ops_dispatch_three_nn(point_mesh, clouds):
+    q, r = clouds
+    ref_d, ref_i = point_ops.three_nn(q, r)
+    with mesh_ctx.use_point_mesh(point_mesh):
+        d, i = point_ops.three_nn(q, r)
+        assert len(i.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-6)
