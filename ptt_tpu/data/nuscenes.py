@@ -100,6 +100,10 @@ class NuscenesTrackingDataset(TrackingDataset):
         name = self.dataset_cfg["INFO_PATH"][self.mode]
         parts = name.split("_")
         prefix = [str(self.class_names), str(self.preload_offset), self.split]
+        # tracklet-shaping flags must ride the cache key: a DB pickled with
+        # KEY_FRAME_ONLY off would otherwise be silently served when it is on
+        if self.key_frame_only:
+            prefix.append("kf")
         return self.root_path / "_".join([parts[0]] + prefix + parts[1:])
 
     # -- tracklet discovery ----------------------------------------------------

@@ -68,6 +68,22 @@ def crop_canonical(pts, valid, box_vec, wlh, offset, scale):
     return canon, mask
 
 
+def precrop_mask(pts, box_vec, wlh, offset, scale):
+    """The reference's loose world-frame pre-crop (crop_pc at 2*offset, 4*scale:
+    the AABB of the 4*scale-scaled box's corners padded by 2*offset,
+    kitti_tracking_utils.py:275-297). The eval search crop is this AABB
+    INTERSECTED with the slacked canonical crop — the 0.6*length slack can poke
+    outside the AABB for long-low boxes, so the bound is load-bearing."""
+    center, yaw = box_vec[:3], box_vec[3]
+    c, s = jnp.abs(jnp.cos(yaw)), jnp.abs(jnp.sin(yaw))
+    hx = 2.0 * scale * wlh[1]  # box-frame x extent = length
+    hy = 2.0 * scale * wlh[0]
+    hz = 2.0 * scale * wlh[2]
+    half = jnp.stack([c * hx + s * hy, s * hx + c * hy, hz]) + 2.0 * offset
+    d = pts - center
+    return jnp.all((d < half) & (d > -half), axis=-1)
+
+
 def masked_resample(pts, mask, n_out: int, key):
     """Uniform-with-replacement resample of the masked rows to exactly ``n_out``
     (device analog of regularize_pc, geometry.py:392: <=2 valid points -> zeros).
@@ -170,8 +186,10 @@ def make_device_tracker(
     # search crop with a per-row offset: the reference evaluator's search crop
     # carries ``offset + gt.wlh[1]*0.6`` slack (crop_center_pc's gt branch,
     # kitti_tracking_utils.py:321, taken by prepare_search) — wlh varies per
-    # tracklet, so the offset rides the batch axis
+    # tracklet, so the offset rides the batch axis — bounded by the loose
+    # world-frame pre-crop (see precrop_mask)
     _crop_search_b = jax.vmap(crop_canonical, in_axes=(0, 0, 0, 0, 0, None))
+    _precrop_b = jax.vmap(precrop_mask, in_axes=(0, 0, 0, None, None))
     _resample_b = jax.vmap(masked_resample_auto, in_axes=(0, 0, None, 0))
     _decode_b = jax.vmap(decode_box_offset, in_axes=(0, 0, None))
     # (B, T, ...) crop: inner vmap over frames (shared wlh), outer over tracklets
@@ -237,6 +255,9 @@ def make_device_tracker(
 
             search_canon, search_mask = _crop_search_b(
                 cur_pts, cur_valid, ref_boxes, wlhs, search_offsets, search_scale
+            )
+            search_mask = search_mask & _precrop_b(
+                cur_pts, ref_boxes, wlhs, search_offset, search_scale
             )
             search, _ = _resample_b(search_canon, search_mask, search_size, ks[:, 0])
 
@@ -352,9 +373,11 @@ class DeviceTrackingEvaluator:
                     f"mesh axes {mesh.axis_names} have no '{self.axis}' axis; "
                     f"pass axis=<your batch axis name>"
                 )
-            if batch_size % mesh.size:
+            n_rows = mesh.shape[self.axis]  # only the named axis shards the batch
+            if batch_size % n_rows:
                 raise ValueError(
-                    f"batch_size {batch_size} must divide over the {mesh.size}-device mesh"
+                    f"batch_size {batch_size} must divide over the {n_rows}-way "
+                    f"'{self.axis}' mesh axis"
                 )
             self._shard = NamedSharding(mesh, P(self.axis))
             self.variables = jax.device_put(variables, NamedSharding(mesh, P()))

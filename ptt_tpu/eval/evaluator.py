@@ -149,14 +149,17 @@ class TrackingEvaluator:
         # (offset, scale) crop. Caught by the whole-loop lockstep
         # (tests/test_eval_lockstep.py); the pre-round-5 evaluators cropped tight.
         if self._native is not None:
-            # single-crop native kernel: fold the slack into the offset — exactly
-            # the composite's membership, since the reference's loose pre-crop
-            # (2*offset, 4*scale) is a strict superset of the slacked final crop
-            # at every shipped geometry
+            # the reference crop is a COMPOSITE: loose world-frame pre-crop
+            # (2*offset, 4*scale AABB) INTERSECTED with the slacked canonical
+            # crop. The slack (0.6*length on every axis) can poke outside the
+            # pre-crop for long-low boxes (l > ~3.1*min(w, h)) — real KITTI
+            # cars — so the pre-crop genuinely bounds membership and must run
+            # here too, not just be assumed redundant.
+            pre = geo.crop_pc(this_pc, ref_box, offset=2 * offset, scale=4 * scale)
             eff_offset = offset + 0.6 * float(np.asarray(this_box.wlh)[1])
             yaw = np.arctan2(ref_box.rotation_matrix[1, 0], ref_box.rotation_matrix[0, 0])
             box_vec = np.array([*ref_box.center, yaw], np.float32)
-            pts, _ = self._native.crop_canonical(this_pc, box_vec, ref_box.wlh, eff_offset, scale)
+            pts, _ = self._native.crop_canonical(pre, box_vec, ref_box.wlh, eff_offset, scale)
         else:
             pts, _, _ = geo.crop_center_pc(
                 this_pc, ref_box, gt_box=this_box, offset=offset, scale=scale

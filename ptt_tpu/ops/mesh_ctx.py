@@ -123,12 +123,15 @@ def use_point_mesh(mesh: Mesh | None, axis: str = "point"):
         _POINT_CTX.reset(token)
 
 
-def shard_pointwise(fn, mesh: Mesh, axis: str, n_sharded: int, n_replicated: int):
+def shard_pointwise(fn, mesh: Mesh, axis: str, n_sharded: int, n_replicated: int,
+                    n_out: int = 1):
     """shard_map wrapper for row-independent point ops: the first ``n_sharded``
-    args and the output are split on dim 1 (the point/center axis); the
-    remaining ``n_replicated`` args (reference clouds) are replicated."""
+    args and every output are split on dim 1 (the point/center axis); the
+    remaining ``n_replicated`` args (reference clouds) are replicated.
+    ``n_out > 1`` for ops returning a tuple (e.g. three_nn's (dist, idx))."""
     in_specs = tuple([P(None, axis)] * n_sharded + [P()] * n_replicated)
-    return _shard_map(fn, mesh, in_specs, P(None, axis))
+    out_specs = P(None, axis) if n_out == 1 else tuple([P(None, axis)] * n_out)
+    return _shard_map(fn, mesh, in_specs, out_specs)
 
 
 def shard_batched(fn, mesh: Mesh | None, axis: str, n_batched: int,

@@ -41,6 +41,9 @@ from jax import lax
 MIN_SHARD_POINTS = 512
 
 
+_declined_shapes: set = set()
+
+
 def _point_mesh_for(dim_size: int):
     """(mesh, axis) when the installed point mesh should split ``dim_size`` rows."""
     from . import mesh_ctx
@@ -49,7 +52,23 @@ def _point_mesh_for(dim_size: int):
     if mesh is None:
         return None, None
     n_shards = mesh.shape[axis]
-    if dim_size < MIN_SHARD_POINTS or dim_size % n_shards:
+    if dim_size < MIN_SHARD_POINTS:
+        return None, None
+    if dim_size % n_shards:
+        # large enough to shard but not divisible: the op silently running
+        # replicated is the worst of both worlds (fused kernels are also off
+        # under a point mesh) — surface it once per shape
+        key = (dim_size, n_shards)
+        if key not in _declined_shapes:
+            _declined_shapes.add(key)
+            import warnings
+
+            warnings.warn(
+                f"point sharding declined: {dim_size} rows not divisible by the "
+                f"{n_shards}-way '{axis}' mesh axis — this op runs replicated; "
+                f"pad the config's point counts to a multiple of {n_shards}",
+                stacklevel=3,
+            )
         return None, None
     return mesh, axis
 
@@ -389,14 +408,9 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
     if mesh is not None:
         from . import mesh_ctx
 
-        # two outputs, both sharded on dim 1 — use the raw shard_map directly
-        fn = mesh_ctx._shard_map(
-            _three_nn_impl,
-            mesh,
-            (mesh_ctx.P(None, axis), mesh_ctx.P()),
-            (mesh_ctx.P(None, axis), mesh_ctx.P(None, axis)),
+        return mesh_ctx.shard_pointwise(_three_nn_impl, mesh, axis, 1, 1, n_out=2)(
+            unknown, known
         )
-        return fn(unknown, known)
     return _three_nn_impl(unknown, known)
 
 

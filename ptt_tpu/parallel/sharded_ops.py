@@ -52,9 +52,11 @@ from ..ops import point_ops
 
 def _point_sharded(mesh: Mesh, axis: str, fn, n_in_sharded: int = 1, n_in_replicated: int = 1):
     """shard_map wrapper: first ``n_in_sharded`` args sharded on their 2nd dim
-    (B, N, ...), the rest replicated; output sharded on its 2nd dim."""
-    in_specs = tuple([P(None, axis)] * n_in_sharded + [P()] * n_in_replicated)
-    return _shard_map(fn, mesh, in_specs, P(None, axis))
+    (B, N, ...), the rest replicated; output sharded on its 2nd dim.
+    Delegates to the one spec-construction site (ops.mesh_ctx.shard_pointwise)."""
+    from ..ops import mesh_ctx
+
+    return mesh_ctx.shard_pointwise(fn, mesh, axis, n_in_sharded, n_in_replicated)
 
 
 def sharded_square_distance(query, ref, mesh: Mesh, axis: str = "data"):

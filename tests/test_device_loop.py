@@ -409,3 +409,34 @@ def test_evaluator_mesh_mode_matches_single_device(synth_cfg_loader):
         assert len(p_trk) == len(m_trk)
         for pb, mb in zip(p_trk, m_trk):
             np.testing.assert_allclose(pb.center, mb.center, atol=1e-4)
+
+
+def test_search_crop_composite_membership_long_box(rng):
+    """The eval search crop = loose world pre-crop INTERSECTED with the slacked
+    canonical crop (reference crop_center_pc gt branch). For long-low boxes
+    (l > ~3.1*min(w, h)) the slack pokes outside the pre-crop, so a single
+    slacked crop over-includes — the device scan's precrop_mask must bound it
+    to the reference membership (round-5 review finding, verified numerically)."""
+    from ptt_tpu.core import geometry as geo
+    from ptt_tpu.eval.device_loop import crop_canonical, precrop_mask
+
+    wlh = np.array([1.8, 4.8, 1.4])  # KITTI-plausible long-low car
+    center = np.array([5.0, -2.0, 0.7])
+    yaw = 0.35
+    box = geo.Box(center, wlh, geo.Quaternion(axis=[0, 0, 1], radians=yaw))
+    pts = (rng.uniform(-9, 9, (20000, 3)) + center).astype(np.float32)
+
+    # reference membership: composite via the geometry gt-branch
+    ref_pts, _, _ = geo.crop_center_pc(pts, box, gt_box=box, offset=0.0, scale=1.25)
+
+    box_vec = jnp.asarray([*center, yaw], jnp.float32)
+    wlh_j = jnp.asarray(wlh, jnp.float32)
+    valid = jnp.ones((pts.shape[0],), bool)
+    slacked = 0.0 + 0.6 * wlh[1]
+    _, tight_mask = crop_canonical(jnp.asarray(pts), valid, box_vec, wlh_j, slacked, 1.25)
+    pre = precrop_mask(jnp.asarray(pts), box_vec, wlh_j, 0.0, 1.25)
+
+    # the bound is load-bearing on this geometry: the slacked crop alone
+    # over-includes vs the composite
+    assert int(np.sum(np.asarray(tight_mask))) > ref_pts.shape[0]
+    assert int(np.sum(np.asarray(tight_mask & pre))) == ref_pts.shape[0]

@@ -135,11 +135,14 @@ def stack():
              float(ev.evaluator.Precision_main.average)),
         )
 
-    def run_host_loop():
+    def run_host_loop(native=False):
         from ptt_tpu.eval.evaluator import TrackingEvaluator
 
         ev = TrackingEvaluator(cfg, model, variables, dataset=None)
-        ev._native = None  # pure-numpy crop: the same f64 math the reference runs
+        if not native:
+            ev._native = None  # pure-numpy crop: the same f64 math the reference runs
+        else:
+            assert ev._native is not None, "native library unavailable"
         results = ev.test_tracklet(pcs, boxes, annos=None)
         return (
             _traj(results),
@@ -213,6 +216,24 @@ def test_protocol_lockstep_shared_inference(stack, tmp_path):
     # bug instead shifts EVERY frame — the missing slack moved frame 1 by 0.2
     assert max(devs) < 0.5, f"per-frame deviations {devs}"
     np.testing.assert_allclose(our_metrics, ref_metrics, atol=1.0)
+
+
+def test_protocol_lockstep_native_crop(stack, tmp_path):
+    """Same protocol proof with the NATIVE host crop (the default path when the
+    C++ library is built): pre-crop + slack-folded canonical crop must give the
+    reference composite's membership. Seed noise is f32 crop math instead of a
+    pure cast, so the frame-1 gate is one decade looser."""
+    shim = _FlaxShim(stack["model"], stack["variables"])
+    ref_traj, _ = stack["run_reference_loop"](shim, tmp_path)
+    our_traj, _ = stack["run_host_loop"](native=True)
+
+    devs = [
+        float(np.linalg.norm(oc - rc))
+        for (rc, _), (oc, _) in zip(ref_traj, our_traj)
+    ]
+    assert devs[1] < 1e-4, f"frame-1 deviation {devs[1]} is above f32 crop noise"
+    assert float(np.median(devs)) < 1e-3, f"per-frame deviations {devs}"
+    assert max(devs) < 0.5, f"per-frame deviations {devs}"
 
 
 def test_torch_model_whole_loop_agreement(stack, tmp_path):
