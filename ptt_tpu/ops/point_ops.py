@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import mesh_ctx
+
 
 # Point-axis sharding: when an entry point installs a point mesh
 # (ops.mesh_ctx.use_point_mesh — the POINT_SHARDING configs), the O(N^2)
@@ -46,8 +48,6 @@ _declined_shapes: set = set()
 
 def _point_mesh_for(dim_size: int):
     """(mesh, axis) when the installed point mesh should split ``dim_size`` rows."""
-    from . import mesh_ctx
-
     mesh, axis = mesh_ctx.get_point_mesh()
     if mesh is None:
         return None, None
@@ -109,8 +109,6 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray, exact: bool = False) -> 
     """
     mesh, axis = _point_mesh_for(src.shape[1])
     if mesh is not None:
-        from . import mesh_ctx
-
         fn = functools.partial(_square_distance_raw, exact=exact)
         return mesh_ctx.shard_pointwise(fn, mesh, axis, 1, 1)(src, dst)
     return _square_distance_raw(src, dst, exact=exact)
@@ -247,8 +245,6 @@ def ball_query(radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarr
     """
     mesh, axis = _point_mesh_for(new_xyz.shape[1])
     if mesh is not None:
-        from . import mesh_ctx
-
         def _bq(centers, pts):
             return _ball_query_impl(radius, nsample, pts, centers)
 
@@ -382,8 +378,6 @@ def knn(k: int, query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     """
     mesh, axis = _point_mesh_for(query.shape[1])
     if mesh is not None:
-        from . import mesh_ctx
-
         return mesh_ctx.shard_pointwise(
             functools.partial(_knn_impl, k), mesh, axis, 1, 1
         )(query, ref)
@@ -406,8 +400,6 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
     """
     mesh, axis = _point_mesh_for(unknown.shape[1])
     if mesh is not None:
-        from . import mesh_ctx
-
         return mesh_ctx.shard_pointwise(_three_nn_impl, mesh, axis, 1, 1, n_out=2)(
             unknown, known
         )
