@@ -182,4 +182,71 @@ def make_sharded_train_step(model_cfg, mesh: Mesh, axis: str = "data",
         with mesh_ctx.use_mesh(mesh, axis):
             return jitted(*args)
 
+    def lower(*args):
+        # AOT surface (tools/train_bench.py cost_analysis). Must trace under the
+        # same mesh context as the live dispatches, or the lowering silently
+        # bakes the meshless jnp fallback and the FLOP numbers measure the
+        # wrong program.
+        with mesh_ctx.use_mesh(mesh, axis):
+            return jitted.lower(*args)
+
+    step.lower = lower
     return step
+
+
+def make_sharded_multi_step(model_cfg, mesh: Mesh, k: int, axis: str = "data",
+                            with_bn_momentum: bool = False,
+                            mixed_precision: bool = False):
+    """K train steps per dispatch: ``multi_step(state, stacked_batches[, bn_m])``
+    scans ``make_train_step`` over batches whose leaves are stacked to
+    (K, B, ...), returning (state, metrics-with-(K,)-leading-leaves).
+
+    Why: on dispatch-latency-bound hosts (the tunnel-attached TPU measured
+    ~18 ms/it between the pure device step and the dispatch-only loop,
+    docs/PERFORMANCE.md training table) one dispatch carrying K steps pays that
+    fixed cost once per K. Semantics are EXACTLY K sequential steps — same
+    optimizer math, same per-step BN stat updates (test_train pins it); only
+    the host<->device cadence changes. The reference has no analog (torch eagerly
+    dispatches per op; SURVEY.md §3.1)."""
+    from ..ops import mesh_ctx
+
+    train_step = make_train_step(
+        model_cfg, with_bn_momentum=with_bn_momentum, mixed_precision=mixed_precision
+    )
+
+    def multi(state, batches, *step_args):
+        def body(st, one_batch):
+            return train_step(st, one_batch, *step_args)
+
+        return jax.lax.scan(body, state, batches)
+
+    replicated = NamedSharding(mesh, P())
+    stacked = NamedSharding(mesh, P(None, axis))  # (K, B, ...): shard dim 1
+    in_shardings = (replicated, stacked) + ((replicated,) if with_bn_momentum else ())
+    jitted = jax.jit(
+        multi,
+        in_shardings=in_shardings,
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def step(*args):
+        with mesh_ctx.use_mesh(mesh, axis):
+            return jitted(*args)
+
+    step.k = int(k)
+    return step
+
+
+def stack_shard_batches(batches, mesh: Mesh, axis: str = "data"):
+    """Stack K host batches to (K, B, ...) leaves and place them with the batch
+    dim (dim 1) sharded — the input format of make_sharded_multi_step."""
+    import numpy as np
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    sharding = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), stacked)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), stacked
+    )

@@ -26,8 +26,10 @@ from .optim import build_optimizer_and_schedule
 from .train_state import (
     create_train_state,
     make_data_mesh,
+    make_sharded_multi_step,
     make_sharded_train_step,
     shard_batch,
+    stack_shard_batches,
 )
 
 
@@ -98,6 +100,25 @@ class Trainer:
             with_bn_momentum=bool(self.bn_sched_cfg),
             mixed_precision=mixed_precision,
         )
+        # OPTIMIZATION.STEPS_PER_DISPATCH > 1 scans K steps inside ONE dispatch
+        # (exact same math as K sequential steps — make_sharded_multi_step):
+        # on dispatch-latency-bound hosts one fixed dispatch cost amortizes
+        # over K. Epoch-tail batches that don't fill a group take the single
+        # step above.
+        self.steps_per_dispatch = max(1, int(optim_cfg.get("STEPS_PER_DISPATCH", 1)))
+        self.multi_step = None
+        if self.steps_per_dispatch > 1:
+            self.logger.info(
+                f"steps_per_dispatch={self.steps_per_dispatch} "
+                f"(K-step scan per device dispatch)"
+            )
+            self.multi_step = make_sharded_multi_step(
+                model_cfg,
+                self.mesh,
+                self.steps_per_dispatch,
+                with_bn_momentum=bool(self.bn_sched_cfg),
+                mixed_precision=mixed_precision,
+            )
         self.ckpt = CheckpointManager(
             str(output_dir) + "/ckpt", max_to_keep=max_ckpt_save_num
         )
@@ -131,15 +152,47 @@ class Trainer:
         """Write buffered per-step scalars. Values are device arrays dispatched
         many steps ago, so the float() reads here don't stall the pipeline the way
         a per-iteration read would (the metric for step k is read only after step
-        k + tb_flush_interval was dispatched)."""
-        for step_i, metrics in buffer:
+        k + tb_flush_interval was dispatched). Multi-step dispatches buffer
+        (step_i, metrics, j): metric leaves carry a leading (K,) axis and j picks
+        the in-dispatch step."""
+        for step_i, metrics, j in buffer:
             # lr used BY update step_i is schedule(step_i - 1): optax passes the
             # pre-increment count (reference logs the same cur_lr, train_utils.py:30)
             cur_lr = float(self.lr_schedule(step_i - 1))
             self.tb_writer.add_scalar("meta_data/learning_rate", cur_lr, step_i)
             for key, val in metrics.items():
-                self.tb_writer.add_scalar(f"train/{key}", float(val), step_i)
+                v = val if j is None else val[j]
+                self.tb_writer.add_scalar(f"train/{key}", float(v), step_i)
         buffer.clear()
+
+    def _run_epoch_multi(self, step_args, tb_buffer):
+        """One epoch at STEPS_PER_DISPATCH > 1: groups of K host batches stack
+        into one (K, B, ...) upload + one scan dispatch; the epoch tail (fewer
+        than K batches) runs through the single-step path. Returns the last
+        dispatch's metrics (leaves (K,) for full groups, scalars for the tail)."""
+        k = self.steps_per_dispatch
+        group, metrics = [], None
+        for batch in self.train_loader:
+            group.append(batch)
+            if len(group) < k:
+                continue
+            stacked = stack_shard_batches(group, self.mesh)
+            group = []
+            self.state, metrics = self.multi_step(self.state, stacked, *step_args)
+            base = self.accumulated_iter
+            self.accumulated_iter += k
+            if self.tb_writer is not None:
+                tb_buffer.extend((base + j + 1, metrics, j) for j in range(k))
+                if len(tb_buffer) >= self.tb_flush_interval:
+                    self._flush_tb(tb_buffer)
+        for batch in group:  # epoch tail
+            self.state, metrics = self.train_step(
+                self.state, shard_batch(batch, self.mesh), *step_args
+            )
+            self.accumulated_iter += 1
+            if self.tb_writer is not None:
+                tb_buffer.append((self.accumulated_iter, metrics, None))
+        return metrics
 
     def train(self):
         """Epoch loop (reference train_model, train_utils.py:77-150).
@@ -170,24 +223,32 @@ class Trainer:
                 )
                 step_args = (jnp.float32(1.0 - torch_m),)
             tb_buffer = []
-            batch_iter = iter(self.train_loader)
-            batch = next(batch_iter, None)
-            batch = shard_batch(batch, self.mesh) if batch is not None else None
-            while batch is not None:
-                self.state, metrics = self.train_step(self.state, batch, *step_args)
-                # upload batch k+1 while step k runs (the eval loop already
-                # pipelines this way; device_put is async w.r.t. the device queue)
-                nxt = next(batch_iter, None)
-                batch = shard_batch(nxt, self.mesh) if nxt is not None else None
-                self.accumulated_iter += 1
-                if self.tb_writer is not None:
-                    tb_buffer.append((self.accumulated_iter, metrics))
-                    if len(tb_buffer) >= self.tb_flush_interval:
-                        self._flush_tb(tb_buffer)
+            if self.multi_step is not None:
+                metrics = self._run_epoch_multi(step_args, tb_buffer)
+            else:
+                batch_iter = iter(self.train_loader)
+                batch = next(batch_iter, None)
+                batch = shard_batch(batch, self.mesh) if batch is not None else None
+                while batch is not None:
+                    self.state, metrics = self.train_step(self.state, batch, *step_args)
+                    # upload batch k+1 while step k runs (the eval loop already
+                    # pipelines this way; device_put is async w.r.t. the device queue)
+                    nxt = next(batch_iter, None)
+                    batch = shard_batch(nxt, self.mesh) if nxt is not None else None
+                    self.accumulated_iter += 1
+                    if self.tb_writer is not None:
+                        tb_buffer.append((self.accumulated_iter, metrics, None))
+                        if len(tb_buffer) >= self.tb_flush_interval:
+                            self._flush_tb(tb_buffer)
             if self.tb_writer is not None and tb_buffer:
                 self._flush_tb(tb_buffer)
-            # block once per epoch for accurate wall-clock + finite-loss check
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            # block once per epoch for accurate wall-clock + finite-loss check;
+            # a multi-step epoch's last metrics carry a (K,) axis — take the
+            # final in-dispatch step
+            metrics = {
+                k: float(np.asarray(v).reshape(-1)[-1])
+                for k, v in jax.device_get(metrics).items()
+            }
             loss_avg.append(metrics["loss"])
             dt = time.perf_counter() - t0
             self.logger.info(

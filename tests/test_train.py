@@ -254,3 +254,74 @@ def test_trainer_saves_best_checkpoint(kitti_cfg, synth_loader, tmp_path):
 
     meta = json.loads((tmp_path / "ckpt_best.meta.json").read_text())
     assert meta["epoch"] == 2 and meta["succ"] == 30.0  # not overwritten by epoch 3
+
+
+def test_multi_step_matches_sequential(kitti_cfg, synth_loader):
+    """STEPS_PER_DISPATCH: one K-step scan dispatch must be EXACTLY K sequential
+    single steps — same params, same per-step metrics."""
+    from ptt_tpu.train.train_state import (
+        make_sharded_multi_step,
+        stack_shard_batches,
+    )
+
+    mesh = make_data_mesh()
+    it = iter(synth_loader)
+    batches = [next(it) for _ in range(3)]
+    model = build_network(kitti_cfg.MODEL)
+    tx, _ = build_optimizer_and_schedule(kitti_cfg.OPTIMIZATION, 10, 2)
+
+    state_a = create_train_state(model, tx, batches[0])
+    step = make_sharded_train_step(kitti_cfg.MODEL, mesh)
+    seq_losses = []
+    for b in batches:
+        state_a, m = step(state_a, shard_batch(b, mesh))
+        seq_losses.append(float(m["loss"]))
+
+    state_b = create_train_state(model, tx, batches[0])
+    multi = make_sharded_multi_step(kitti_cfg.MODEL, mesh, k=3)
+    state_b, mm = multi(state_b, stack_shard_batches(batches, mesh))
+    np.testing.assert_allclose(np.asarray(mm["loss"]), seq_losses, rtol=1e-5)
+    assert int(state_b.step) == int(state_a.step) == 3
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+    # BN running stats advanced identically too
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
+                      jax.tree_util.tree_leaves(state_b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_trainer_steps_per_dispatch(kitti_cfg, synth_loader, tmp_path):
+    """Trainer end-to-end at STEPS_PER_DISPATCH=2 over an odd iteration count:
+    full groups take the scan dispatch, the tail takes the single step, and the
+    iteration accounting stays exact."""
+    cfg = kitti_cfg.copy()
+    cfg.OPTIMIZATION["NUM_EPOCHS"] = 1
+    cfg.OPTIMIZATION["STEPS_PER_DISPATCH"] = 2
+    model = build_network(cfg.MODEL)
+    logger = create_logger()
+    trainer = Trainer(
+        model, cfg.MODEL, cfg.OPTIMIZATION, synth_loader, tmp_path, logger,
+        ckpt_save_interval=1,
+    )
+    n_iters = len(synth_loader)
+    trainer.train()
+    assert trainer.accumulated_iter == n_iters
+    assert int(trainer.state.step) == n_iters
+
+
+def test_sharded_train_step_lower_surface(kitti_cfg, synth_loader):
+    """tools/train_bench.py AOT-lowers the sharded step for cost_analysis; the
+    mesh-scoped wrapper must keep that surface working (round-5 regression: the
+    round-4 wrapper dropped .lower and the next bench run would have crashed)."""
+    mesh = make_data_mesh()
+    batch = next(iter(synth_loader))
+    model = build_network(kitti_cfg.MODEL)
+    tx, _ = build_optimizer_and_schedule(kitti_cfg.OPTIMIZATION, 10, 2)
+    state = create_train_state(model, tx, batch)
+    step = make_sharded_train_step(kitti_cfg.MODEL, mesh)
+    compiled = step.lower(state, shard_batch(batch, mesh)).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, (list, tuple)):
+        costs = costs[0] if costs else {}
+    assert float(costs.get("flops", 0.0)) > 0.0

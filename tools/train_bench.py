@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO_ROOT))
 V5E_BF16_PEAK = 197e12  # flops/s, one chip
 
 
-def bench_config(cfg_file, batch_size, iters, workers=8):
+def bench_config(cfg_file, batch_size, iters, workers=8, steps_per_dispatch=4):
     import jax
 
     from ptt_tpu.config import cfg_from_yaml_file
@@ -99,6 +99,37 @@ def bench_config(cfg_file, batch_size, iters, workers=8):
     pipelined_ms = run_epoch(blocking=False)
     blocking_ms = run_epoch(blocking=True)
 
+    # K-step scan per dispatch (OPTIMIZATION.STEPS_PER_DISPATCH): amortizes the
+    # fixed dispatch cost — the pipelined-vs-device gap above — over K steps
+    multi_k_ms = float("nan")
+    if steps_per_dispatch > 1:
+        from ptt_tpu.train.train_state import (
+            make_sharded_multi_step,
+            stack_shard_batches,
+        )
+
+        multi = make_sharded_multi_step(cfg.MODEL, mesh, k=steps_per_dispatch)
+        group = []
+        n = 0
+        # warm up one dispatch, then time an epoch of K-dispatches
+        for b in loader:
+            group.append(b)
+            if len(group) == steps_per_dispatch:
+                state, mm = multi(state, stack_shard_batches(group, mesh))
+                group = []
+                break
+        float(np.asarray(jax.device_get(mm["loss"])).reshape(-1)[-1])
+        t0 = time.perf_counter()
+        group = []
+        for b in loader:
+            group.append(b)
+            if len(group) == steps_per_dispatch:
+                state, mm = multi(state, stack_shard_batches(group, mesh))
+                n += steps_per_dispatch
+                group = []
+        float(np.asarray(jax.device_get(mm["loss"])).reshape(-1)[-1])
+        multi_k_ms = (time.perf_counter() - t0) / max(n, 1) * 1e3
+
     mfu = flops / (device_ms / 1e3) / V5E_BF16_PEAK if flops > 0 else float("nan")
     return {
         "cfg": Path(cfg_file).stem,
@@ -108,6 +139,8 @@ def bench_config(cfg_file, batch_size, iters, workers=8):
         "pipelined_ms": pipelined_ms,
         "blocking_ms": blocking_ms,
         "samples_s": batch_size / (pipelined_ms / 1e3),
+        "multi_k": steps_per_dispatch,
+        "multi_k_ms": multi_k_ms,
         "gflops_per_step": flops / 1e9,
         "mfu_pct": mfu * 100,
     }
@@ -117,6 +150,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=32)
     parser.add_argument("--batch_size", type=int, default=48)
+    parser.add_argument("--steps_per_dispatch", type=int, default=4,
+                        help="also bench a K-step-scan-per-dispatch epoch (0 = skip)")
     parser.add_argument("--configs", nargs="*", default=[
         "tools/cfgs/kitti_models/ptt.yaml",
         "tools/cfgs/kitti_models/ptt_large.yaml",
@@ -126,14 +161,19 @@ def main():
     import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    rows = [bench_config(c, args.batch_size, args.iters) for c in args.configs]
+    rows = [
+        bench_config(c, args.batch_size, args.iters,
+                     steps_per_dispatch=args.steps_per_dispatch)
+        for c in args.configs
+    ]
 
     print("| Config | Batch | Step GFLOP | Device step | E2E ms/it (pipelined) "
-          "| E2E ms/it (blocking) | Samples/s | MFU |")
-    print("|---|---|---|---|---|---|---|---|")
+          "| E2E ms/it (K-dispatch) | E2E ms/it (blocking) | Samples/s | MFU |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['cfg']} | {r['batch']} | {r['gflops_per_step']:.1f} "
               f"| {r['device_ms']:.1f} ms | {r['pipelined_ms']:.1f} "
+              f"| {r['multi_k_ms']:.1f} (K={r['multi_k']}) "
               f"| {r['blocking_ms']:.1f} | {r['samples_s']:.0f} "
               f"| {r['mfu_pct']:.1f}% |")
 
