@@ -120,10 +120,17 @@ def stack():
     ]
     ref_annos = [(0, t, 0) for t in range(len(pcs))]
 
-    def run_reference_loop(ref_model, out_dir):
+    def run_reference_loop(ref_model, out_dir, test_overrides=None):
+        import copy
+
+        loop_cfg = ref_cfg
+        if test_overrides:
+            loop_cfg = copy.deepcopy(ref_cfg)
+            for key, val in test_overrides.items():
+                loop_cfg.TEST[key] = val
         ev = ref_eval_mod.TrackingEvaluator(
-            cfg_=ref_cfg, logger_=_Logger(), timer_=ref_timer, model_=ref_model,
-            dataset_=type("D", (), {"dataset_cfg": ref_cfg.DATA_CONFIG}),
+            cfg_=loop_cfg, logger_=_Logger(), timer_=ref_timer, model_=ref_model,
+            dataset_=type("D", (), {"dataset_cfg": loop_cfg.DATA_CONFIG}),
             output_dir=Path(out_dir),
         )
         ev.ret_dict.update({"batch_num": 1})
@@ -135,10 +142,14 @@ def stack():
              float(ev.evaluator.Precision_main.average)),
         )
 
-    def run_host_loop(native=False):
+    def run_host_loop(native=False, test_overrides=None):
         from ptt_tpu.eval.evaluator import TrackingEvaluator
 
-        ev = TrackingEvaluator(cfg, model, variables, dataset=None)
+        loop_cfg = cfg
+        if test_overrides:
+            loop_cfg = cfg.copy()
+            loop_cfg.TEST = dict(cfg.TEST, **test_overrides)
+        ev = TrackingEvaluator(loop_cfg, model, variables, dataset=None)
         if not native:
             ev._native = None  # pure-numpy crop: the same f64 math the reference runs
         else:
@@ -268,5 +279,37 @@ def test_torch_model_whole_loop_agreement(stack, tmp_path):
         for (rc, _), (oc, _) in zip(ref_traj, our_traj)
     ]
     assert float(np.median(devs)) < 1e-2, f"per-frame deviations {devs}"
+    assert max(devs) < 0.5, f"per-frame deviations {devs}"
+    np.testing.assert_allclose(our_metrics, ref_metrics, atol=1.0)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"REF_BOX": "current_gt"},
+        {"REF_BOX": "previous_gt"},
+        {"SHAPE_AGGREGATION": "all"},
+        {"SHAPE_AGGREGATION": "first"},
+    ],
+    ids=["current_gt", "previous_gt", "agg_all", "agg_first"],
+)
+def test_protocol_lockstep_diagnostic_modes(stack, tmp_path, overrides):
+    """The protocol proof across the OTHER TEST modes (reference
+    eval_tracking_utils.py:154-230): GT-referenced crops and the non-default
+    template aggregations run the same reference-vs-host comparison with shared
+    inference. The GT modes break the autoregressive feedback for the search
+    crop, so deviations stay at cast noise across the whole horizon."""
+    shim = _FlaxShim(stack["model"], stack["variables"])
+    ref_traj, ref_metrics = stack["run_reference_loop"](
+        shim, tmp_path, test_overrides=overrides
+    )
+    our_traj, our_metrics = stack["run_host_loop"](test_overrides=overrides)
+
+    devs = [
+        float(np.linalg.norm(oc - rc))
+        for (rc, _), (oc, _) in zip(ref_traj, our_traj)
+    ]
+    assert devs[1] < 1e-5, f"frame-1 deviation {devs[1]} is above cast noise"
+    assert float(np.median(devs)) < 1e-3, f"per-frame deviations {devs}"
     assert max(devs) < 0.5, f"per-frame deviations {devs}"
     np.testing.assert_allclose(our_metrics, ref_metrics, atol=1.0)
