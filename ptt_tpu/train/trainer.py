@@ -76,14 +76,17 @@ class Trainer:
         self.state = create_train_state(
             model, tx, sample_batch, rng=jax.random.PRNGKey(seed)
         )
-        # bf16 fwd/bwd with f32 master weights is the trainer default since
-        # round 4 (measured ~10% step win, loss parity to bf16 resolution, and
-        # the fused kernel keeps neighbor selection at HIGHEST precision —
-        # docs/PERFORMANCE.md). Reference-numerics parity runs opt out with
-        # OPTIMIZATION.MIXED_PRECISION: False; make_train_step's own default
-        # stays f32 for the oracle-parity tests.
-        mixed_precision = bool(optim_cfg.get("MIXED_PRECISION", True))
-        # the default flipped to bf16 in round 4 — surface the effective
+        # f32 is the trainer default again since round 5: the measured roofline
+        # (tools/train_ablate.py, docs/PERFORMANCE.md "Train-step roofline") has
+        # the fused-kernel step HBM-bound at 88% of the bandwidth roofline, and
+        # bf16 does NOT remove bytes there (the grouped tensor never leaves
+        # VMEM; the residual traffic is f32 optimizer/BN state) — it only adds
+        # cast work, measuring 9% SLOWER (98.6 vs 90.2 ms at batch 48). bf16
+        # still wins on the unfused jnp group path (102.1 vs 111.8 ms), where
+        # the grouped activations do hit HBM — round 4's +10% was measured
+        # there. Opt in with OPTIMIZATION.MIXED_PRECISION: True.
+        mixed_precision = bool(optim_cfg.get("MIXED_PRECISION", False))
+        # the default flipped bf16->f32 across rounds — surface the effective
         # precision in every run log so a silently-changed numeric regime is
         # visible when re-running an older config
         self.logger.info(

@@ -14,6 +14,11 @@ Usage:
       --extra_tag ckpt_asset_r3 --ckpt_save_interval 5 --set TRAIN.WITH_EVAL.ENABLE False
   python tests/assets/make_trained_ckpt.py \
       output/synthetic_models/ptt_synth/ckpt_asset_r3/ckpt
+
+``--score-only`` prints the per-epoch host scores on the agreement tracklets
+without writing the asset (ablation runs, e.g. the README PTT-vs-P2B
+comparison); ``--cfg_file`` picks the MODEL used to consume the checkpoints
+(default: the flagship tools/cfgs/kitti_models/ptt.yaml).
 """
 
 import sys
@@ -44,15 +49,22 @@ def eval_tracklets(cfg):
 
 
 def main():
-    import numpy as np
+    import argparse
 
     from ptt_tpu.config import cfg_from_yaml_file
     from ptt_tpu.eval import TrackingEvaluator
     from ptt_tpu.nn import build_network
     from ptt_tpu.train import checkpoint
 
-    ckpt_dir = Path(sys.argv[1])
-    cfg = cfg_from_yaml_file("tools/cfgs/kitti_models/ptt.yaml")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("ckpt_dir")
+    parser.add_argument("--cfg_file", default="tools/cfgs/kitti_models/ptt.yaml")
+    parser.add_argument("--score-only", action="store_true",
+                        help="print per-epoch scores; do not write the asset")
+    args = parser.parse_args()
+
+    ckpt_dir = Path(args.ckpt_dir)
+    cfg = cfg_from_yaml_file(args.cfg_file)
     model = build_network(cfg.MODEL)
     import jax.numpy as jnp
 
@@ -87,6 +99,9 @@ def main():
             best = (epoch, s["success"], s["precision"], params, batch_stats)
 
     epoch, succ, prec, params, batch_stats = best
+    if args.score_only:
+        print(f"best: epoch {epoch}, Succ {succ:.2f}, Prec {prec:.2f} (not saved)")
+        return
     checkpoint.save_variables_npz(
         ASSET, params, batch_stats,
         metadata={"epoch": epoch, "host_success": succ, "host_precision": prec},
