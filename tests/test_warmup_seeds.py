@@ -42,6 +42,13 @@ def test_committed_seeds_exist_and_cover_the_bench():
     names = os.listdir(seeds)
     assert any(n.startswith("jit_track_batched") for n in names), names
     assert any(n.startswith("jit__lambda") for n in names), names  # model init
-    # each entry is a real serialized executable, not a placeholder
+    # each entry is a real serialized executable, not a placeholder. The
+    # tracker-scan / model-init programs serialize to >100 KB; auxiliary
+    # entries (e.g. a jit_broadcast_in_dim the warmup flow happens to compile)
+    # are legitimately small, so they only need to be non-trivial.
     for n in names:
-        assert os.path.getsize(os.path.join(seeds, n)) > 100_000, n
+        size = os.path.getsize(os.path.join(seeds, n))
+        if n.startswith(("jit_track_batched", "jit__lambda")):
+            assert size > 100_000, (n, size)
+        else:
+            assert size > 1_000, (n, size)
